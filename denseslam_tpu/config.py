@@ -1,0 +1,165 @@
+"""Typed configuration tree for the whole system.
+
+Single source of truth replacing the reference's two-tier config (gflags CLI +
+per-dataset YAML via cv::FileStorage, reference: src/DenseSLAM/SystemEntry.cpp:
+12-33 and 136-199) and the per-subsystem param structs
+(reference: src/DenseSLAM/VoxelDecayParams.h:7-64). Every field that shapes an
+array is a static python int so configs hash into jit caches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from .utils.camera import Intrinsics, StereoRig
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelDecayParams:
+    """reference: src/DenseSLAM/VoxelDecayParams.h:7-17"""
+    enabled: bool = False
+    min_decay_age: int = 30
+    max_decay_weight: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SlideWindowParams:
+    """reference: src/DenseSLAM/VoxelDecayParams.h:19-27"""
+    enabled: bool = False
+    max_age: int = 60
+
+
+@dataclasses.dataclass(frozen=True)
+class OnlineCorrectionParams:
+    """reference: src/DenseSLAM/VoxelDecayParams.h:29-36"""
+    enabled: bool = False
+    correction_num: int = 5          # how many worst-drift keyframes to re-fuse
+    start_correction_num: int = 10   # min stale keyframes before acting
+    min_error: float = 0.015         # drift threshold to consider stale
+
+
+@dataclasses.dataclass(frozen=True)
+class PostProcessParams:
+    """Depth post-processing by cross-frame consistency
+    (reference: src/DenseSLAM/VoxelDecayParams.h:38-46, DenseSlam.cpp:434-552).
+    """
+    enabled: bool = False
+    filter_threshold: float = 0.1    # relative depth disagreement
+    filter_area: float = 0.5         # lower fraction of image rows filtered
+
+
+@dataclasses.dataclass(frozen=True)
+class WeightParams:
+    """Depth-dependent fusion weighting
+    (reference: src/DenseSLAM/SystemEntry.cpp:183-187 WeightParams)."""
+    depth_weighting: bool = False
+    max_new_w: int = 5
+    max_distance: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TsdfConfig:
+    """Voxel-hashed TSDF volume geometry + table capacities (static)."""
+    voxel_size_m: float = 0.06
+    trunc_dist_m: float = 0.24               # mu; typically 4 * voxel
+    max_weight: float = 100.0                # ITMLibSettings sceneParams.maxW
+    table_slots: int = 1 << 15               # hash table capacity (slots)
+    probe_len: int = 16                      # max linear probes
+    max_visible_blocks: int = 4096           # static cap on visible set
+    max_alloc_per_frame: int = 4096          # static cap on new blocks/frame
+    min_depth_m: float = 0.3
+    max_depth_m: float = 50.0
+    raycast_steps: int = 192                 # bounded DDA steps per ray
+    weights: WeightParams = WeightParams()
+
+    @property
+    def block_size_m(self) -> float:
+        return self.voxel_size_m * 8.0
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Sparse frontend: feature extraction, matching, RANSAC VO."""
+    max_features: int = 1024          # static cap after bucketing
+    nms_radius: int = 4
+    nms_tau: float = 25.0             # detector response threshold
+    bucket_w: int = 50                # bucketing cell size, px
+    bucket_h: int = 50
+    max_per_bucket: int = 4
+    match_radius_px: float = 100.0    # spatial gate for matching
+    stereo_band_px: float = 3.0       # epipolar band for L/R matching
+    ransac_iters: int = 256           # hypotheses, batched via vmap
+    ransac_thresh_px: float = 2.0     # reference: viso_stereo.h:39-41
+    gn_iters: int = 8
+    refine_iters: int = 12
+    # PD controller on the feature budget
+    # (reference: src/DenseSLAM/DenseSlam.h:382-409,486-489)
+    pd_kp: float = 0.8
+    pd_kd: float = 0.08
+    target_frame_ms: float = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    max_disparity: int = 128
+    patch_radius: int = 3
+    sgm_p1: float = 8.0
+    sgm_p2: float = 96.0
+    lr_check_px: float = 1.5
+    use_sgm: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Local BA + pose graph capacities (static)."""
+    window_keyframes: int = 8
+    max_landmarks: int = 512
+    max_obs_per_landmark: int = 8
+    ba_iters: int = 10
+    huber_px: float = 2.0
+    pg_iters: int = 20
+    max_pg_nodes: int = 256
+    max_pg_edges: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Fusion DB windows etc (reference: DenseSlam.h:429-435)."""
+    fusion_db_capacity: int = 64      # fused keyframe DB (for de-fusion)
+    keyframe_every: int = 1           # fuse every k-th keyframe (lowfreq_exp)
+    use_external_odometry: bool = True  # use frontend VO pose vs internal ICP
+    bilateral_filter: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    rig: StereoRig
+    tsdf: TsdfConfig = TsdfConfig()
+    frontend: FrontendConfig = FrontendConfig()
+    stereo: StereoConfig = StereoConfig()
+    backend: BackendConfig = BackendConfig()
+    pipeline: PipelineConfig = PipelineConfig()
+    decay: VoxelDecayParams = VoxelDecayParams()
+    slide_window: SlideWindowParams = SlideWindowParams()
+    correction: OnlineCorrectionParams = OnlineCorrectionParams()
+    postprocess: PostProcessParams = PostProcessParams()
+
+
+def tiny_test_config(width: int = 80, height: int = 60,
+                     **overrides) -> SystemConfig:
+    """Small config for unit tests (CPU-runnable)."""
+    intr = Intrinsics(fx=60.0, fy=60.0, cx=width / 2 - 0.5,
+                      cy=height / 2 - 0.5, width=width, height=height)
+    rig = StereoRig(intr=intr, baseline_m=0.12)
+    tsdf = TsdfConfig(
+        voxel_size_m=0.05,
+        trunc_dist_m=0.2,
+        table_slots=1 << 12,
+        max_visible_blocks=1024,
+        max_alloc_per_frame=1024,
+        max_depth_m=10.0,
+        raycast_steps=96,
+    )
+    cfg = SystemConfig(rig=rig, tsdf=tsdf)
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
