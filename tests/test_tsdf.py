@@ -1,0 +1,162 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denseslam_tpu.config import tiny_test_config
+from denseslam_tpu.io import synthetic
+from denseslam_tpu.ops import tsdf as tsdf_ops
+
+
+@pytest.fixture(scope="module")
+def frame():
+    cfg = tiny_test_config()
+    T = jnp.eye(4, dtype=jnp.float32)
+    gray, depth = synthetic.render_view(T, cfg.rig.intr)
+    rgb = jnp.stack([gray] * 3, axis=-1)
+    return cfg, T, depth, rgb
+
+
+def fuse_one(cfg, m, depth, rgb, T):
+    m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T, cfg.rig.intr, cfg.tsdf)
+    m = tsdf_ops.integrate(m, slots, mask, depth, rgb, T, cfg.rig.intr, cfg.tsdf)
+    return m, slots, mask
+
+
+def test_allocate_and_integrate(frame):
+    cfg, T, depth, rgb = frame
+    m = tsdf_ops.make_map(cfg.tsdf)
+    m, slots, mask = fuse_one(cfg, m, depth, rgb, T)
+    nblocks = int(tsdf_ops.num_allocated_blocks(m))
+    assert nblocks > 20
+    assert int(m.overflow) == 0
+    # some voxels got weight
+    assert float(m.weight.max()) > 0
+    # memory accounting is proportional to block count
+    assert int(tsdf_ops.used_memory_bytes(m, 16)) == nblocks * 16 * 512
+
+
+def test_tsdf_zero_crossing_near_surface(frame):
+    """Fused TSDF must change sign across the known surface depth."""
+    cfg, T, depth, rgb = frame
+    m = tsdf_ops.make_map(cfg.tsdf)
+    m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+    h, w = depth.shape
+    d = float(depth[h // 2, w // 2])
+    intr = cfg.rig.intr
+    # point slightly in front of / behind the surface along the central ray
+    mu = cfg.tsdf.trunc_dist_m
+    for offset, sign in [(-0.5 * mu, +1), (0.5 * mu, -1)]:
+        z = d + offset
+        pt = jnp.array(
+            [[(w // 2 - intr.cx) / intr.fx * z, (h // 2 - intr.cy) / intr.fy * z, z]],
+            dtype=jnp.float32,
+        )
+        sdf, wgt = tsdf_ops.sample_tsdf_nearest(m, pt, cfg.tsdf)
+        assert float(wgt[0]) > 0
+        assert np.sign(float(sdf[0])) == sign, (offset, float(sdf[0]))
+
+
+def test_integrate_deintegrate_identity(frame):
+    """De-fusing the same view restores the prior map (OnlineCorrection's
+    core invariant)."""
+    cfg, T, depth, rgb = frame
+    m0 = tsdf_ops.make_map(cfg.tsdf)
+    m0, slots0, mask0 = fuse_one(cfg, m0, depth, rgb, T)
+    w_before = m0.weight
+    t_before = m0.tsdf
+
+    # fuse a second (different) view, then de-fuse it
+    T1 = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.08)
+    _, depth1 = synthetic.render_view(T1, cfg.rig.intr)
+    rgb1 = jnp.stack([depth1 * 20] * 3, axis=-1)
+    m1, slots1, mask1 = tsdf_ops.allocate_for_frame(m0, depth1, T1, cfg.rig.intr, cfg.tsdf)
+    m1 = tsdf_ops.integrate(m1, slots1, mask1, depth1, rgb1, T1, cfg.rig.intr, cfg.tsdf)
+    assert float(jnp.abs(m1.weight - w_before).max()) > 0  # actually changed
+
+    m2 = tsdf_ops.deintegrate(m1, slots1, mask1, depth1, rgb1, T1, cfg.rig.intr, cfg.tsdf)
+    np.testing.assert_allclose(np.asarray(m2.weight), np.asarray(w_before), atol=1e-4)
+    # where weight remains, tsdf is restored
+    live = np.asarray(w_before) > 0
+    np.testing.assert_allclose(
+        np.asarray(m2.tsdf)[live], np.asarray(t_before)[live], atol=1e-3
+    )
+
+
+def test_decay_reclaims_low_weight_blocks(frame):
+    cfg, T, depth, rgb = frame
+    m = tsdf_ops.make_map(cfg.tsdf)
+    m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+    n0 = int(tsdf_ops.num_allocated_blocks(m))
+    # age the map: advance frames beyond min_decay_age
+    for _ in range(3):
+        m = tsdf_ops.advance_frame(m)
+    # all voxels have weight <= 1 (single fusion) -> decay with threshold 1
+    m = tsdf_ops.decay(m, max_decay_weight=1.0, min_decay_age=2)
+    n1 = int(tsdf_ops.num_allocated_blocks(m))
+    assert n1 == 0
+    assert int(m.decayed_blocks) == n0
+    # weights cleared
+    assert float(m.weight.max()) == 0.0
+
+
+def test_decay_age_gate(frame):
+    cfg, T, depth, rgb = frame
+    m = tsdf_ops.make_map(cfg.tsdf)
+    m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+    n0 = int(tsdf_ops.num_allocated_blocks(m))
+    # not old enough: nothing decays
+    m2 = tsdf_ops.decay(m, max_decay_weight=1.0, min_decay_age=5)
+    assert int(tsdf_ops.num_allocated_blocks(m2)) == n0
+    # force_all ignores age (DecayCatchup)
+    m3 = tsdf_ops.decay_catchup(m, max_decay_weight=1.0)
+    assert int(tsdf_ops.num_allocated_blocks(m3)) == 0
+
+
+def test_decay_keeps_heavy_voxels(frame):
+    cfg, T, depth, rgb = frame
+    m = tsdf_ops.make_map(cfg.tsdf)
+    # fuse the same frame 4x -> weights ~4
+    for _ in range(4):
+        m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+    for _ in range(3):
+        m = tsdf_ops.advance_frame(m)
+    n0 = int(tsdf_ops.num_allocated_blocks(m))
+    m = tsdf_ops.decay(m, max_decay_weight=2.0, min_decay_age=1)
+    # heavy blocks survive
+    assert int(tsdf_ops.num_allocated_blocks(m)) > n0 // 2
+
+
+def test_slide_window_evicts_old_blocks(frame):
+    cfg, T, depth, rgb = frame
+    m = tsdf_ops.make_map(cfg.tsdf)
+    m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+    n0 = int(tsdf_ops.num_allocated_blocks(m))
+    for _ in range(4):
+        m = tsdf_ops.advance_frame(m)
+    # allocate a fresh far-away frame
+    T2 = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(-3.0)
+    _, depth2 = synthetic.render_view(T2, cfg.rig.intr)
+    m, s2, k2 = tsdf_ops.allocate_for_frame(m, depth2, T2, cfg.rig.intr, cfg.tsdf)
+    m = tsdf_ops.integrate(m, s2, k2, depth2, None, T2, cfg.rig.intr, cfg.tsdf)
+    m = tsdf_ops.slide_window(m, max_age=3)
+    # frame-0 blocks evicted; frame-4 blocks survive
+    alloc_frames = np.asarray(m.alloc_frame)[np.asarray(m.table.valid)]
+    assert (alloc_frames >= 4).all()
+    assert int(tsdf_ops.num_allocated_blocks(m)) > 0
+
+
+def test_fusion_jit_stable(frame):
+    cfg, T, depth, rgb = frame
+
+    @jax.jit
+    def step(m, depth, rgb, T):
+        m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T, cfg.rig.intr, cfg.tsdf)
+        m = tsdf_ops.integrate(m, slots, mask, depth, rgb, T, cfg.rig.intr, cfg.tsdf)
+        return tsdf_ops.advance_frame(m)
+
+    m = tsdf_ops.make_map(cfg.tsdf)
+    m = step(m, depth, rgb, T)
+    m = step(m, depth, rgb, T)
+    assert int(m.frame) == 2
+    assert int(tsdf_ops.num_allocated_blocks(m)) > 0
