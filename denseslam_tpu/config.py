@@ -147,11 +147,15 @@ class SystemConfig:
 
 
 def tiny_test_config(width: int = 80, height: int = 60,
+                     baseline_m: float = 0.12,
                      **overrides) -> SystemConfig:
-    """Small config for unit tests (CPU-runnable)."""
-    intr = Intrinsics(fx=60.0, fy=60.0, cx=width / 2 - 0.5,
+    """Small config for unit tests (CPU-runnable). fx scales with width so
+    larger test images keep a realistic ~67 deg FOV and usable stereo
+    geometry."""
+    f = 0.75 * width
+    intr = Intrinsics(fx=f, fy=f, cx=width / 2 - 0.5,
                       cy=height / 2 - 0.5, width=width, height=height)
-    rig = StereoRig(intr=intr, baseline_m=0.12)
+    rig = StereoRig(intr=intr, baseline_m=baseline_m)
     tsdf = TsdfConfig(
         voxel_size_m=0.05,
         trunc_dist_m=0.2,

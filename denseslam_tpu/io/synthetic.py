@@ -79,20 +79,53 @@ def _ray_scene_depth(origins: jax.Array, dirs: jax.Array, scene: Scene) -> jax.A
     return jnp.where(t_best < big * 0.5, t_best, 0.0)
 
 
+def _value_noise(p: jax.Array, freq: float) -> jax.Array:
+    """Hash-lattice value noise in [-1, 1]: aperiodic, world-anchored.
+
+    Periodic (sinusoid) textures alias the feature matcher — descriptors
+    lock onto the wrong lobe consistently and pass circular checks — so the
+    fixture texture must be non-repeating.
+    """
+    g = p * freq
+    g0 = jnp.floor(g).astype(jnp.int32)
+    f = g - g0
+
+    def hash3(c):
+        h = c[..., 0] * 374761393 + c[..., 1] * 668265263 + c[..., 2] * 1274126177
+        h = (h ^ (h >> 13)) * 1103515245
+        h = h ^ (h >> 16)
+        return ((h & 0x7FFF).astype(jnp.float32) / 16383.5) - 1.0
+
+    # smoothstep interpolation weights
+    w = f * f * (3.0 - 2.0 * f)
+    acc = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                corner = g0 + jnp.array([dx, dy, dz], dtype=jnp.int32)
+                val = hash3(corner)
+                wt = (
+                    (w[..., 0] if dx else 1 - w[..., 0])
+                    * (w[..., 1] if dy else 1 - w[..., 1])
+                    * (w[..., 2] if dz else 1 - w[..., 2])
+                )
+                acc = acc + val * wt
+    return acc
+
+
 def _texture(pts_w: jax.Array) -> jax.Array:
     """Procedural world-anchored texture -> (..., ) float intensity [0,255].
 
-    High-frequency but smooth pattern so feature detectors and photometric
-    matchers have something to lock onto.
+    Multi-octave aperiodic value noise: high-frequency detail for feature
+    detectors, no spatial repetition to alias the matcher.
     """
-    x, y, z = pts_w[..., 0], pts_w[..., 1], pts_w[..., 2]
     v = (
-        jnp.sin(x * 9.1) * jnp.cos(z * 7.3)
-        + jnp.sin(y * 11.7 + x * 3.1)
-        + 0.5 * jnp.sin(x * 23.0 + z * 17.0)
-        + 0.25 * jnp.sin(z * 41.0 - y * 29.0)
+        _value_noise(pts_w, 3.1)
+        + 0.6 * _value_noise(pts_w, 7.7)
+        + 0.35 * _value_noise(pts_w, 17.3)
+        + 0.18 * _value_noise(pts_w, 39.9)
     )
-    return 128.0 + 45.0 * v
+    return jnp.clip(128.0 + 90.0 * v, 5.0, 250.0)
 
 
 def render_view(T_wc: jax.Array, intr: Intrinsics,

@@ -1,0 +1,199 @@
+"""Sparse feature extraction: blob/corner detection + gradient descriptors.
+
+The capability target is libviso2's matcher frontend (reference:
+src/libviso2/src/matcher.cpp — 5x5 blob + checkerboard filters via SSE,
+Neubeck NMS into 4 feature classes, 32-byte sparse Sobel descriptors), and
+ORB-SLAM2's oriented multi-scale features. TPU re-design:
+
+  * the filter bank is one depthwise `lax.conv` over the image — XLA fuses
+    it and maps the taps onto the VPU; no hand-SIMD;
+  * NMS = max-pool equality test, fully parallel (no serial Neubeck walk);
+  * per-class fixed-cap selection via `lax.top_k` — feature lists are
+    static-shape (cap, ...) arrays + validity masks, jit-stable;
+  * descriptors = one gather of 16 Sobel samples per feature; descriptor
+    distance later becomes an MXU matmul (ops/matching.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FrontendConfig
+
+# 4 feature classes, as in the reference matcher (blob max/min, corner
+# max/min) — class equality gates matching.
+NUM_CLASSES = 4
+
+
+def _filter_kernels() -> jax.Array:
+    """(2, 5, 5): blob (center-surround) and checkerboard (corner) masks."""
+    blob = jnp.array(
+        [
+            [-1, -1, -1, -1, -1],
+            [-1, 1, 1, 1, -1],
+            [-1, 1, 8, 1, -1],
+            [-1, 1, 1, 1, -1],
+            [-1, -1, -1, -1, -1],
+        ],
+        dtype=jnp.float32,
+    )
+    blob = blob / 16.0
+    corner = jnp.array(
+        [
+            [-1, -1, 0, 1, 1],
+            [-1, -1, 0, 1, 1],
+            [0, 0, 0, 0, 0],
+            [1, 1, 0, -1, -1],
+            [1, 1, 0, -1, -1],
+        ],
+        dtype=jnp.float32,
+    )
+    corner = corner / 16.0
+    return jnp.stack([blob, corner])
+
+
+class Features(NamedTuple):
+    uv: jax.Array       # f32 (N, 2) pixel coords
+    cls: jax.Array      # i32 (N,) feature class 0..3
+    desc: jax.Array     # f32 (N, 32) gradient descriptor
+    score: jax.Array    # f32 (N,) detector response magnitude
+    valid: jax.Array    # bool (N,)
+
+
+def _conv2same(img: jax.Array, k: jax.Array) -> jax.Array:
+    """2D convolution, SAME padding, single channel."""
+    return jax.lax.conv_general_dilated(
+        img[None, None], k[None, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+
+
+def sobel_gradients(gray: jax.Array):
+    """Smoothed Sobel derivatives (du, dv) as in the reference's filter bank."""
+    smooth = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
+    deriv = jnp.array([-1.0, -2.0, 0.0, 2.0, 1.0], dtype=jnp.float32) / 6.0
+    du = _conv2same(gray, deriv[None, :] * smooth[:, None])
+    dv = _conv2same(gray, deriv[:, None] * smooth[None, :])
+    return du, dv
+
+
+_DESC_OFFSETS = jnp.array(
+    # 16 sparse sample offsets (dv, du) in a 11x11 neighbourhood — same
+    # spirit as the reference's sparse descriptor layout, chosen symmetric.
+    [
+        [-5, -1], [-5, 1],
+        [-3, -4], [-3, 0], [-3, 4],
+        [-1, -2], [-1, 2],
+        [0, -5], [0, 5],
+        [1, -2], [1, 2],
+        [3, -4], [3, 0], [3, 4],
+        [5, -1], [5, 1],
+    ],
+    dtype=jnp.int32,
+)
+
+
+def detect(gray: jax.Array, cfg: FrontendConfig) -> Features:
+    """Detect up to cfg.max_features features with descriptors.
+
+    Budget is split evenly over the 4 classes; per-class selection is
+    `lax.top_k` over the NMS-passed response map.
+    """
+    h, w = gray.shape
+    kernels = _filter_kernels()
+    blob = _conv2same(gray, kernels[0])
+    corner = _conv2same(gray, kernels[1])
+
+    du, dv = sobel_gradients(gray)
+
+    cap = cfg.max_features
+    per_class = cap // NUM_CLASSES
+    r = cfg.nms_radius
+
+    def nms_mask(resp):
+        mx = jax.lax.reduce_window(
+            resp, -jnp.inf, jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
+        )
+        return (resp >= mx) & (resp >= cfg.nms_tau)
+
+    border = jnp.zeros((h, w), bool)
+    border = border.at[8 : h - 8, 8 : w - 8].set(True)
+
+    feats_uv, feats_cls, feats_score, feats_valid = [], [], [], []
+    for ci, resp in enumerate([blob, -blob, corner, -corner]):
+        ok = nms_mask(resp) & border
+        scores = jnp.where(ok, resp, -jnp.inf).reshape(-1)
+        top, idx = jax.lax.top_k(scores, per_class)
+        ui = idx % w
+        vi = idx // w
+        # Parabolic subpixel refinement on the response map (the reference
+        # does the same, matcher.cpp:1384-1588 'refinement' stage).
+        uic = jnp.clip(ui, 1, w - 2)
+        vic = jnp.clip(vi, 1, h - 2)
+        rc = resp[vic, uic]
+        rl = resp[vic, uic - 1]
+        rr = resp[vic, uic + 1]
+        rt = resp[vic - 1, uic]
+        rb = resp[vic + 1, uic]
+        den_u = rl - 2.0 * rc + rr
+        den_v = rt - 2.0 * rc + rb
+        du_sub = jnp.where(jnp.abs(den_u) > 1e-6, 0.5 * (rl - rr) / den_u, 0.0)
+        dv_sub = jnp.where(jnp.abs(den_v) > 1e-6, 0.5 * (rt - rb) / den_v, 0.0)
+        u = ui.astype(jnp.float32) + jnp.clip(du_sub, -0.5, 0.5)
+        v = vi.astype(jnp.float32) + jnp.clip(dv_sub, -0.5, 0.5)
+        feats_uv.append(jnp.stack([u, v], axis=-1))
+        feats_cls.append(jnp.full((per_class,), ci, dtype=jnp.int32))
+        feats_score.append(jnp.where(jnp.isfinite(top), top, 0.0))
+        feats_valid.append(jnp.isfinite(top))
+
+    uv = jnp.concatenate(feats_uv, axis=0)
+    cls = jnp.concatenate(feats_cls, axis=0)
+    score = jnp.concatenate(feats_score, axis=0)
+    valid = jnp.concatenate(feats_valid, axis=0)
+
+    desc = describe(du, dv, uv)
+    return Features(uv=uv, cls=cls, desc=desc, score=score, valid=valid)
+
+
+def describe(du: jax.Array, dv: jax.Array, uv: jax.Array) -> jax.Array:
+    """Gather the 32-dim gradient descriptor at integer feature locations."""
+    h, w = du.shape
+    ui = jnp.clip(uv[:, 0].astype(jnp.int32), 0, w - 1)
+    vi = jnp.clip(uv[:, 1].astype(jnp.int32), 0, h - 1)
+    us = jnp.clip(ui[:, None] + _DESC_OFFSETS[None, :, 1], 0, w - 1)  # (N, 16)
+    vs = jnp.clip(vi[:, None] + _DESC_OFFSETS[None, :, 0], 0, h - 1)
+    d_u = du[vs, us]
+    d_v = dv[vs, us]
+    desc = jnp.concatenate([d_u, d_v], axis=-1)  # (N, 32)
+    # Normalise for illumination robustness; keeps L2 distances comparable.
+    n = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    return desc / jnp.maximum(n, 1e-6)
+
+
+def bucket(feats: Features, width: int, height: int, cfg: FrontendConfig) -> Features:
+    """Spatially uniform feature thinning (reference bucketing:
+    src/libviso2/src/matcher.cpp:248-289, 2 feats / 50x50 px): keep the
+    strongest max_per_bucket features per cell, implemented by penalising
+    each feature's rank within its cell and re-validating."""
+    bw = (width + cfg.bucket_w - 1) // cfg.bucket_w
+    cell = (feats.uv[:, 1].astype(jnp.int32) // cfg.bucket_h) * bw + (
+        feats.uv[:, 0].astype(jnp.int32) // cfg.bucket_w
+    )
+    n = feats.uv.shape[0]
+    # rank features within each cell by score: sort by (cell, -score)
+    order = jnp.lexsort((-feats.score, jnp.where(feats.valid, cell, 2 ** 30)))
+    sorted_cell = jnp.where(feats.valid, cell, 2 ** 30)[order]
+    same_as_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool), sorted_cell[1:] == sorted_cell[:-1]]
+    )
+    # rank via segmented cumulative count
+    def body(carry, same):
+        rank = jnp.where(same, carry + 1, 0)
+        return rank, rank
+    _, ranks_sorted = jax.lax.scan(body, jnp.int32(0), same_as_prev)
+    ranks = jnp.zeros((n,), jnp.int32).at[order].set(ranks_sorted)
+    keep = feats.valid & (ranks < cfg.max_per_bucket)
+    return feats._replace(valid=keep)

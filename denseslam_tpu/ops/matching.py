@@ -1,0 +1,144 @@
+"""Descriptor matching on the MXU.
+
+The reference matches features with per-bin SAD searches over spatial hash
+buckets and SSE `_mm_sad_epu8` (reference: src/libviso2/src/matcher.cpp:
+895-1212) and closes a circular L-prev -> R-prev -> R-curr -> L-curr
+consistency loop. TPU re-design: the whole cost matrix is ONE matmul —
+squared-L2 distance = |a|^2 + |b|^2 - 2 a.b — with class equality and
+spatial gates applied as masks, then mutual-nearest-neighbour selection by
+row/col argmin. The circular consistency check becomes index-composition of
+four mutual-NN maps. O(N^2) cost matrices at N ~= 1-2k are tiny MXU work.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FrontendConfig
+from .features import Features
+
+_INF = jnp.float32(1e9)
+
+
+def _pair_cost(a: Features, b: Features) -> jax.Array:
+    """Squared L2 descriptor distance (Na, Nb) — MXU matmul."""
+    dots = a.desc @ b.desc.T
+    na = jnp.sum(a.desc * a.desc, axis=-1)
+    nb = jnp.sum(b.desc * b.desc, axis=-1)
+    return na[:, None] + nb[None, :] - 2.0 * dots
+
+
+def _gated_cost(
+    a: Features,
+    b: Features,
+    max_du: float,
+    max_dv: float,
+    du_range: tuple[float, float] | None = None,
+) -> jax.Array:
+    """Masked cost matrix: class equality + validity + spatial gates.
+
+    du_range (lo, hi) additionally constrains u_a - u_b (for stereo:
+    disparity in [0, max_disp])."""
+    cost = _pair_cost(a, b)
+    du = a.uv[:, 0][:, None] - b.uv[:, 0][None, :]
+    dv = a.uv[:, 1][:, None] - b.uv[:, 1][None, :]
+    ok = (
+        a.valid[:, None]
+        & b.valid[None, :]
+        & (a.cls[:, None] == b.cls[None, :])
+        & (jnp.abs(du) <= max_du)
+        & (jnp.abs(dv) <= max_dv)
+    )
+    if du_range is not None:
+        ok = ok & (du >= du_range[0]) & (du <= du_range[1])
+    return jnp.where(ok, cost, _INF)
+
+
+def mutual_nn(cost: jax.Array) -> jax.Array:
+    """Mutual nearest neighbour: (Na,) index into b, -1 when unmatched."""
+    fwd = jnp.argmin(cost, axis=1)                 # (Na,)
+    bwd = jnp.argmin(cost, axis=0)                 # (Nb,)
+    best = jnp.take_along_axis(cost, fwd[:, None], axis=1)[:, 0]
+    ok = (best < _INF * 0.5) & (bwd[fwd] == jnp.arange(cost.shape[0]))
+    return jnp.where(ok, fwd, -1)
+
+
+class QuadMatches(NamedTuple):
+    """Circularly-consistent quad matches, indexed by current-left feature.
+
+    Mirrors the reference RawFlow quad (SURVEY.md section 2a row
+    'Sparse scene flow': curr/prev x left/right pixel + indices)."""
+    idx_lc: jax.Array  # i32 (M,) index into curr-left features
+    idx_rc: jax.Array  # i32 (M,)
+    idx_lp: jax.Array  # i32 (M,)
+    idx_rp: jax.Array  # i32 (M,)
+    uv_lc: jax.Array   # f32 (M, 2)
+    uv_rc: jax.Array
+    uv_lp: jax.Array
+    uv_rp: jax.Array
+    valid: jax.Array   # bool (M,)
+
+
+def match_stereo(a: Features, b: Features, cfg: FrontendConfig) -> jax.Array:
+    """Left->right matches along the epipolar band; returns (Na,) idx/-1."""
+    cost = _gated_cost(
+        a, b, max_du=256.0, max_dv=cfg.stereo_band_px, du_range=(0.0, 256.0)
+    )
+    return mutual_nn(cost)
+
+
+def match_temporal(a: Features, b: Features, cfg: FrontendConfig) -> jax.Array:
+    """Curr->prev matches within the motion gate; returns (Na,) idx/-1."""
+    cost = _gated_cost(a, b, max_du=cfg.match_radius_px, max_dv=cfg.match_radius_px)
+    return mutual_nn(cost)
+
+
+def quad_match(
+    left_curr: Features,
+    right_curr: Features,
+    left_prev: Features,
+    right_prev: Features,
+    cfg: FrontendConfig,
+) -> QuadMatches:
+    """Circular consistency: lc -> rc -> rp -> lp -> lc must close.
+
+    (The reference walks lp -> rp -> rc -> lc, matcher.cpp:895-970; direction
+    is immaterial.)"""
+    n = left_curr.uv.shape[0]
+    i_lc = jnp.arange(n, dtype=jnp.int32)
+
+    m_lc_rc = match_stereo(left_curr, right_curr, cfg)          # lc -> rc
+    m_rc_rp = match_temporal(right_curr, right_prev, cfg)       # rc -> rp
+    m_rp_lp = mutual_nn(
+        _gated_cost(right_prev, left_prev, max_du=256.0,
+                    max_dv=cfg.stereo_band_px, du_range=(-256.0, 0.0))
+    )                                                            # rp -> lp
+    m_lc_lp = match_temporal(left_curr, left_prev, cfg)         # lc -> lp (check)
+
+    i_rc = m_lc_rc
+    i_rp = jnp.where(i_rc >= 0, m_rc_rp[jnp.maximum(i_rc, 0)], -1)
+    i_lp = jnp.where(i_rp >= 0, m_rp_lp[jnp.maximum(i_rp, 0)], -1)
+    closes = (i_lp >= 0) & (i_lp == m_lc_lp)
+
+    def take(f: Features, idx):
+        return f.uv[jnp.maximum(idx, 0)]
+
+    valid = (
+        closes
+        & left_curr.valid
+        & (i_rc >= 0) & (i_rp >= 0) & (i_lp >= 0)
+    )
+    return QuadMatches(
+        idx_lc=i_lc,
+        idx_rc=i_rc,
+        idx_lp=i_lp,
+        idx_rp=i_rp,
+        uv_lc=left_curr.uv,
+        uv_rc=take(right_curr, i_rc),
+        uv_lp=take(left_prev, i_lp),
+        uv_rp=take(right_prev, i_rp),
+        valid=valid,
+    )

@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+# Small-angle switchover: below theta = 1e-2 the closed forms cancel
+# catastrophically in float32 (e.g. 1-cos(theta) ~ 5e-5), while the Taylor
+# expansions are accurate to ~theta^4 ~ 1e-8. theta^2 threshold:
+_SMALL2 = 1e-4
 
 
 def hat(w: jax.Array) -> jax.Array:
@@ -43,8 +47,8 @@ def so3_exp(w: jax.Array) -> jax.Array:
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     W = hat(w)
     W2 = W @ W
-    # sin(t)/t and (1-cos(t))/t^2 with Taylor fallback for tiny angles.
-    small = theta2 < _EPS
+    # sin(t)/t and (1-cos(t))/t^2 with Taylor fallback for small angles.
+    small = theta2 < _SMALL2
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -59,7 +63,7 @@ def so3_log(R: jax.Array) -> jax.Array:
     w_raw = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
     sin_t = jnp.sin(theta)
     # theta / (2 sin(theta)) with Taylor fallback.
-    small = theta[..., None] < 1e-4
+    small = theta[..., None] < 1e-2
     scale = jnp.where(
         small,
         0.5 + theta[..., None] ** 2 / 12.0,
@@ -85,7 +89,7 @@ def se3_exp(xi: jax.Array) -> jax.Array:
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     W = hat(w)
     W2 = W @ W
-    small = theta2 < _EPS
+    small = theta2 < _SMALL2
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
     R = so3_exp(w)
@@ -104,12 +108,13 @@ def se3_log(T: jax.Array) -> jax.Array:
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     W = hat(w)
     W2 = W @ W
-    small = theta2 < _EPS
+    small = theta2 < _SMALL2
     # V^{-1} = I - W/2 + (1/theta^2)(1 - theta sin / (2(1-cos))) W^2
+    denom = jnp.maximum(2.0 * (1.0 - jnp.cos(theta)), 1e-12)
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - theta * jnp.sin(theta) / (2.0 * (1.0 - jnp.cos(theta)))) / theta2,
+        (1.0 - theta * jnp.sin(theta) / denom) / theta2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + coef * W2

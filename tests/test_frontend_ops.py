@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denseslam_tpu.config import tiny_test_config
+from denseslam_tpu.io import synthetic
+from denseslam_tpu.ops import features, matching, ransac
+from denseslam_tpu.utils import lie
+
+
+@pytest.fixture(scope="module")
+def stereo_frames():
+    # bigger image so plenty of features
+    cfg = tiny_test_config(width=320, height=240)
+    poses = synthetic.make_trajectory(2, step_m=0.08, yaw_rate=0.01)
+    frames = []
+    for i in range(2):
+        T = jnp.asarray(poses[i])
+        l, r, d = synthetic.render_stereo(T, cfg.rig)
+        frames.append((l, r, d))
+    return cfg, poses, frames
+
+
+def test_detect_features(stereo_frames):
+    cfg, poses, frames = stereo_frames
+    l0 = frames[0][0]
+    f = features.detect(l0, cfg.frontend)
+    n = int(f.valid.sum())
+    assert n > 200, n
+    # all detected coords in-bounds and away from borders
+    uv = np.asarray(f.uv)[np.asarray(f.valid)]
+    assert uv[:, 0].min() >= 8 and uv[:, 0].max() < cfg.rig.intr.width - 8
+    # descriptors unit-norm
+    d = np.asarray(f.desc)[np.asarray(f.valid)]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-3)
+
+
+def test_bucketing(stereo_frames):
+    cfg, poses, frames = stereo_frames
+    f = features.detect(frames[0][0], cfg.frontend)
+    fb = features.bucket(f, cfg.rig.intr.width, cfg.rig.intr.height, cfg.frontend)
+    assert int(fb.valid.sum()) <= int(f.valid.sum())
+    # per-cell cap respected
+    uv = np.asarray(fb.uv)[np.asarray(fb.valid)]
+    cells = (uv[:, 1] // cfg.frontend.bucket_h).astype(int) * 100 + (
+        uv[:, 0] // cfg.frontend.bucket_w
+    ).astype(int)
+    _, counts = np.unique(cells, return_counts=True)
+    assert counts.max() <= cfg.frontend.max_per_bucket
+
+
+def test_stereo_match_disparity(stereo_frames):
+    """L->R matches must satisfy the known disparity relation."""
+    cfg, poses, frames = stereo_frames
+    l0, r0, d0 = frames[0]
+    fl = features.detect(l0, cfg.frontend)
+    fr = features.detect(r0, cfg.frontend)
+    m = matching.match_stereo(fl, fr, cfg.frontend)
+    midx = np.asarray(m)
+    valid = midx >= 0
+    assert valid.sum() > 100, valid.sum()
+    uvl = np.asarray(fl.uv)[valid]
+    uvr = np.asarray(fr.uv)[np.maximum(midx[valid], 0)]
+    gt_d = np.asarray(d0)[uvl[:, 1].astype(int), uvl[:, 0].astype(int)]
+    pred_disp = uvl[:, 0] - uvr[:, 0]
+    gt_disp = cfg.rig.intr.fx * cfg.rig.baseline_m / np.maximum(gt_d, 1e-6)
+    err = np.abs(pred_disp - gt_disp)
+    # most matches within 2 px of true disparity
+    assert np.median(err) < 1.5, np.median(err)
+    assert (err < 3.0).mean() > 0.7
+
+
+def test_quad_match_and_vo(stereo_frames):
+    cfg, poses, frames = stereo_frames
+    l0, r0, _ = frames[0]
+    l1, r1, _ = frames[1]
+    f_lp = features.detect(l0, cfg.frontend)
+    f_rp = features.detect(r0, cfg.frontend)
+    f_lc = features.detect(l1, cfg.frontend)
+    f_rc = features.detect(r1, cfg.frontend)
+    q = matching.quad_match(f_lc, f_rc, f_lp, f_rp, cfg.frontend)
+    nq = int(q.valid.sum())
+    assert nq > 50, nq
+
+    res = ransac.estimate_stereo_motion(
+        q, cfg.rig, cfg.frontend, jax.random.PRNGKey(0)
+    )
+    assert bool(res.ok)
+    assert int(res.num_inliers) > 30
+
+    # ground-truth delta: T_delta maps prev-cam points to curr-cam
+    T0, T1 = jnp.asarray(poses[0]), jnp.asarray(poses[1])
+    T_gt = lie.inv_T(T1) @ T0
+    err = float(lie.pose_error_weighted(res.T_delta, T_gt))
+    assert err < 0.02, err
+
+
+def test_vo_zero_motion(stereo_frames):
+    cfg, poses, frames = stereo_frames
+    l0, r0, _ = frames[0]
+    f_l = features.detect(l0, cfg.frontend)
+    f_r = features.detect(r0, cfg.frontend)
+    q = matching.quad_match(f_l, f_r, f_l, f_r, cfg.frontend)
+    res = ransac.estimate_stereo_motion(q, cfg.rig, cfg.frontend, jax.random.PRNGKey(1))
+    assert bool(res.ok)
+    err = float(lie.pose_error_weighted(res.T_delta, jnp.eye(4)))
+    # integer-pixel detection noise bounds this until subpixel refinement
+    assert err < 8e-3, err
+
+
+def test_vo_jit(stereo_frames):
+    cfg, poses, frames = stereo_frames
+    l0, r0, _ = frames[0]
+    l1, r1, _ = frames[1]
+
+    @jax.jit
+    def pipeline(l0, r0, l1, r1, key):
+        f_lp = features.detect(l0, cfg.frontend)
+        f_rp = features.detect(r0, cfg.frontend)
+        f_lc = features.detect(l1, cfg.frontend)
+        f_rc = features.detect(r1, cfg.frontend)
+        q = matching.quad_match(f_lc, f_rc, f_lp, f_rp, cfg.frontend)
+        return ransac.estimate_stereo_motion(q, cfg.rig, cfg.frontend, key)
+
+    res = pipeline(l0, r0, l1, r1, jax.random.PRNGKey(0))
+    assert bool(res.ok)
