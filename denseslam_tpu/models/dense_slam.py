@@ -1,0 +1,494 @@
+"""DenseSLAM pipeline orchestrator — the `DenseSlam` class equivalent
+(reference: src/DenseSLAM/DenseSlam.{h,cpp}, call stack SURVEY.md section
+3.2), re-architected as a thin host loop over three jitted device programs:
+
+  1. `vo_step`       — sparse stereo odometry (every frame)
+  2. `fuse_keyframe` — allocate + integrate + slide-window + decay (keyframe rate)
+  3. `raycast`       — previews / ICP model / saved raycast depth
+
+Reference mechanisms carried over, TPU-shaped:
+  * fusion-frame database (`mfusionFrameDataBase`, DenseSlam.h:429-433) ->
+    fixed-capacity device ring buffer storing depth/gray/pose per fused
+    frame, the replay source for de-integration;
+  * OnlineCorrection (DenseSlam.cpp:298-432) -> drift scoring of DB entries
+    against externally optimised poses, top-k worst de-fused at their fused
+    pose and re-fused at the corrected pose;
+  * SlideWindowPose (DenseSlam.cpp:284-296) -> ring-buffer overwrite +
+    map-block eviction by age;
+  * depth post-processing (DenseSlam.cpp:434-552) -> cross-frame
+    consistency culling of the incoming depth;
+  * submap management (createNewLocalMap / setEstimatedGlobalPose,
+    DenseSlam.cpp:133-153) -> SubmapManager over per-submap MapStates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..ops import icp as icp_ops
+from ..ops import raycast as rc_ops
+from ..ops import stereo as stereo_ops
+from ..ops import tsdf as tsdf_ops
+from ..utils import lie
+from ..utils.image import bilateral_filter_depth, rgb_to_gray
+from ..utils.timing import TIMERS
+from . import frontend as fe
+
+
+class FusionDB(NamedTuple):
+    """Ring buffer of fused keyframes — the de-fusion replay source.
+
+    The reference stores full RGB+depth per fused keyframe
+    (DenseSlam.h:46-60); we do the same with a static capacity."""
+    depth: jax.Array     # f32 (C, H, W)
+    gray: jax.Array      # f32 (C, H, W) — for color re-fusion
+    T_fused: jax.Array   # f32 (C, 4, 4) pose used at fusion time
+    frame_id: jax.Array  # i32 (C,) global frame number, -1 = empty
+    valid: jax.Array     # bool (C,)
+    head: jax.Array      # i32 () next write slot
+
+
+def make_fusion_db(cfg: SystemConfig) -> FusionDB:
+    c = cfg.pipeline.fusion_db_capacity
+    h, w = cfg.rig.intr.height, cfg.rig.intr.width
+    return FusionDB(
+        depth=jnp.zeros((c, h, w), jnp.float32),
+        gray=jnp.zeros((c, h, w), jnp.float32),
+        T_fused=jnp.tile(jnp.eye(4, dtype=jnp.float32), (c, 1, 1)),
+        frame_id=jnp.full((c,), -1, jnp.int32),
+        valid=jnp.zeros((c,), bool),
+        head=jnp.zeros((), jnp.int32),
+    )
+
+
+def db_push(db: FusionDB, depth, gray, T_wc, frame_id) -> FusionDB:
+    i = db.head
+    return FusionDB(
+        depth=db.depth.at[i].set(depth),
+        gray=db.gray.at[i].set(gray),
+        T_fused=db.T_fused.at[i].set(T_wc),
+        frame_id=db.frame_id.at[i].set(frame_id),
+        valid=db.valid.at[i].set(True),
+        head=(i + 1) % db.depth.shape[0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Depth post-processing (cross-frame consistency culling)
+# ---------------------------------------------------------------------------
+
+def depth_postprocess(
+    depth_curr: jax.Array,
+    T_curr: jax.Array,
+    depth_prev: jax.Array,
+    T_prev: jax.Array,
+    cfg: SystemConfig,
+) -> jax.Array:
+    """Cull pixels of depth_curr that disagree with the previous fused frame
+    (reference: DenseSlam.cpp:434-552 — relative-depth gate, applied to the
+    lower `filter_area` fraction of the image where dynamic objects and
+    stereo failures concentrate in KITTI)."""
+    from ..utils.camera import backproject, project
+    from ..utils.image import depth_bilinear_sample
+
+    intr = cfg.rig.intr
+    pp = cfg.postprocess
+    pts_c = backproject(depth_curr, intr)
+    T_rel = lie.inv_T(T_prev) @ T_curr
+    pts_p = lie.transform_points(T_rel, pts_c.reshape(-1, 3)).reshape(pts_c.shape)
+    uv, z = project(pts_p, intr)
+    d_prev, ok = depth_bilinear_sample(depth_prev, uv, max_gap_m=0.3)
+    rel = jnp.abs(d_prev - z) / jnp.maximum(z, 1e-3)
+    disagree = ok & (z > 0) & (rel > pp.filter_threshold)
+    h = depth_curr.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, depth_curr.shape, 0)
+    in_area = rows >= jnp.int32(h * (1.0 - pp.filter_area))
+    return jnp.where(disagree & in_area, 0.0, depth_curr)
+
+
+# ---------------------------------------------------------------------------
+# Fusion keyframe step (jitted)
+# ---------------------------------------------------------------------------
+
+def fuse_keyframe(
+    m: tsdf_ops.MapState,
+    db: FusionDB,
+    depth: jax.Array,
+    gray: jax.Array,
+    T_wc: jax.Array,
+    frame_id: jax.Array,
+    cfg: SystemConfig,
+) -> Tuple[tsdf_ops.MapState, FusionDB]:
+    """allocate -> integrate -> slide-window -> decay, then record in DB.
+    Mirrors the fusion tail of ProcessFrame (DenseSlam.cpp:212-228)."""
+    intr = cfg.rig.intr
+    tc = cfg.tsdf
+    if cfg.pipeline.bilateral_filter:
+        depth = bilateral_filter_depth(depth)
+    rgb = jnp.stack([gray] * 3, axis=-1)
+    m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T_wc, intr, tc)
+    m = tsdf_ops.integrate(m, slots, mask, depth, rgb, T_wc, intr, tc)
+    db = db_push(db, depth, gray, T_wc, frame_id)
+    if cfg.slide_window.enabled:
+        m = tsdf_ops.slide_window(m, cfg.slide_window.max_age)
+    if cfg.decay.enabled:
+        m = tsdf_ops.decay(m, cfg.decay.max_decay_weight, cfg.decay.min_decay_age)
+    m = tsdf_ops.advance_frame(m)
+    return m, db
+
+
+# ---------------------------------------------------------------------------
+# Online correction (jitted)
+# ---------------------------------------------------------------------------
+
+def online_correction(
+    m: tsdf_ops.MapState,
+    db: FusionDB,
+    opt_T: jax.Array,        # (C, 4, 4) optimised pose per DB slot
+    opt_valid: jax.Array,    # (C,) which slots have an optimised pose
+    cfg: SystemConfig,
+) -> Tuple[tsdf_ops.MapState, FusionDB, jax.Array]:
+    """De-fuse / re-fuse the worst-drift fused keyframes
+    (reference: DenseSlam.cpp:298-432).
+
+    opt_T comes from the backend (BA / pose graph), aligned to DB slots.
+    Returns (map, db, num_corrected)."""
+    oc = cfg.correction
+    intr = cfg.rig.intr
+    tc = cfg.tsdf
+
+    err = lie.pose_error_weighted(db.T_fused, opt_T)
+    stale = db.valid & opt_valid & (err > oc.min_error)
+    n_stale = jnp.sum(stale.astype(jnp.int32))
+    do_correct = n_stale >= oc.start_correction_num
+
+    scores = jnp.where(stale & do_correct, err, -1.0)
+    _, worst = jax.lax.top_k(scores, oc.correction_num)
+
+    def correct_one(i, carry):
+        m, db = carry
+        slot = worst[i]
+        run = scores[slot] > 0.0
+
+        def apply(ops):
+            m, db = ops
+            depth = db.depth[slot]
+            gray = db.gray[slot]
+            rgb = jnp.stack([gray] * 3, axis=-1)
+            T_old = db.T_fused[slot]
+            T_new = opt_T[slot]
+            # DEINTEGRATE at the fused pose (DenseSlam.cpp:390-393)
+            m2, s_old, k_old = tsdf_ops.allocate_for_frame(m, depth, T_old, intr, tc)
+            m2 = tsdf_ops.deintegrate(m2, s_old, k_old, depth, rgb, T_old, intr, tc)
+            # REINTEGRATE at the optimised pose (DenseSlam.cpp:396-403)
+            m2, s_new, k_new = tsdf_ops.allocate_for_frame(m2, depth, T_new, intr, tc)
+            m2 = tsdf_ops.integrate(m2, s_new, k_new, depth, rgb, T_new, intr, tc)
+            db2 = db._replace(T_fused=db.T_fused.at[slot].set(T_new))
+            return m2, db2
+
+        return jax.lax.cond(run, apply, lambda ops: ops, (m, db))
+
+    m, db = jax.lax.fori_loop(0, oc.correction_num, correct_one, (m, db))
+    num = jnp.sum((scores > 0.0).astype(jnp.int32))
+    num = jnp.minimum(num, oc.correction_num)
+    return m, db, jnp.where(do_correct, num, 0)
+
+
+def purge_culled(
+    m: tsdf_ops.MapState,
+    db: FusionDB,
+    culled: jax.Array,       # (C,) bool — keyframes removed by the backend
+    cfg: SystemConfig,
+) -> Tuple[tsdf_ops.MapState, FusionDB]:
+    """De-fuse DB entries whose keyframe was culled and drop them
+    (reference: DenseSlam.cpp:417-429). Processes up to correction_num per
+    call (bounded work, like the reference's per-frame budget)."""
+    intr = cfg.rig.intr
+    tc = cfg.tsdf
+    scores = jnp.where(db.valid & culled, 1.0, -1.0)
+    _, idxs = jax.lax.top_k(scores, cfg.correction.correction_num)
+
+    def one(i, carry):
+        m, db = carry
+        slot = idxs[i]
+        run = scores[slot] > 0.0
+
+        def apply(ops):
+            m, db = ops
+            depth = db.depth[slot]
+            gray = db.gray[slot]
+            rgb = jnp.stack([gray] * 3, axis=-1)
+            T_old = db.T_fused[slot]
+            m2, s, k = tsdf_ops.allocate_for_frame(m, depth, T_old, intr, tc)
+            m2 = tsdf_ops.deintegrate(m2, s, k, depth, rgb, T_old, intr, tc)
+            db2 = db._replace(
+                valid=db.valid.at[slot].set(False),
+                frame_id=db.frame_id.at[slot].set(-1),
+            )
+            return m2, db2
+
+        return jax.lax.cond(run, apply, lambda ops: ops, (m, db))
+
+    return jax.lax.fori_loop(0, cfg.correction.correction_num, one, (m, db))
+
+
+# ---------------------------------------------------------------------------
+# Submap manager (ITMVoxelMapGraphManager / ITMActiveMapManager equivalent)
+# ---------------------------------------------------------------------------
+
+class SubmapManager:
+    """Host-side registry of per-submap MapStates with estimated global
+    poses (reference surface: createNewLocalMap / setEstimatedGlobalPose /
+    getLocalMap / numLocalMaps, SURVEY.md section 2b)."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.maps: List[tsdf_ops.MapState] = []
+        self.global_poses: List[np.ndarray] = []
+        self.create_new(np.eye(4, dtype=np.float32))
+
+    def create_new(self, T_global: np.ndarray) -> int:
+        self.maps.append(tsdf_ops.make_map(self.cfg.tsdf))
+        self.global_poses.append(np.asarray(T_global))
+        return len(self.maps) - 1
+
+    @property
+    def num_local_maps(self) -> int:
+        return len(self.maps)
+
+    @property
+    def active_idx(self) -> int:
+        return len(self.maps) - 1
+
+    @property
+    def active(self) -> tsdf_ops.MapState:
+        return self.maps[-1]
+
+    @active.setter
+    def active(self, m: tsdf_ops.MapState) -> None:
+        self.maps[-1] = m
+
+    def set_estimated_global_pose(self, idx: int, T: np.ndarray) -> None:
+        self.global_poses[idx] = np.asarray(T)
+
+    def local_map_size(self, idx: int) -> int:
+        return int(tsdf_ops.num_allocated_blocks(self.maps[idx]))
+
+    def should_start_new(self, visible_blocks: int,
+                         threshold: float) -> bool:
+        """reference: DenseSlam.cpp:554-565 — new submap when the visible
+        fraction of the primary map drops below threshold (threshold < 0
+        disables, the reference's default)."""
+        if threshold < 0:
+            return False
+        size = self.local_map_size(self.active_idx)
+        if size == 0:
+            return False
+        return visible_blocks / size < threshold
+
+
+# ---------------------------------------------------------------------------
+# The orchestrator
+# ---------------------------------------------------------------------------
+
+class DenseSLAM:
+    """Host-side pipeline: thin loop over jitted device programs."""
+
+    def __init__(self, cfg: SystemConfig, seed: int = 0):
+        self.cfg = cfg
+        self.fe_state = fe.init_frontend(cfg, seed=seed)
+        self.submaps = SubmapManager(cfg)
+        self.db = make_fusion_db(cfg)
+        self.frame = 0
+        self.current_keyframes = 0
+        self.pose_history: List[Tuple[int, np.ndarray]] = []
+        self.last_fused_depth: Optional[jax.Array] = None
+        self.last_fused_T: Optional[jax.Array] = None
+        self.fusion_ms: List[float] = []
+
+        self._vo = jax.jit(functools.partial(fe.vo_step, cfg=cfg))
+        self._fuse = jax.jit(functools.partial(fuse_keyframe, cfg=cfg))
+        self._stereo = jax.jit(
+            functools.partial(stereo_ops.compute_depth, rig=cfg.rig, cfg=cfg.stereo)
+        )
+        self._raycast = jax.jit(
+            functools.partial(rc_ops.raycast, intr=cfg.rig.intr, cfg=cfg.tsdf)
+        )
+        self._postproc = jax.jit(functools.partial(depth_postprocess, cfg=cfg))
+        self._correct = jax.jit(functools.partial(online_correction, cfg=cfg))
+        self._purge = jax.jit(functools.partial(purge_culled, cfg=cfg))
+        self._icp = jax.jit(
+            functools.partial(icp_ops.track, intr=cfg.rig.intr)
+        )
+
+    # -- per-frame ---------------------------------------------------------
+
+    def process_frame(
+        self,
+        left: jax.Array,
+        right: Optional[jax.Array] = None,
+        depth: Optional[jax.Array] = None,
+        timestamp: Optional[float] = None,
+        pose_override: Optional[jax.Array] = None,
+    ) -> dict:
+        """Process one stereo (or RGB-D) frame. Returns telemetry dict.
+
+        Mirrors ProcessFrame's stages (SURVEY.md section 3.2): odometry every
+        frame, fusion at keyframe rate, optional depth post-processing.
+        pose_override injects an external pose (the reference's
+        SetPoseLocalMap path, InfiniTamDriver.h:173-178) and skips odometry.
+        """
+        import time as _time
+
+        cfg = self.cfg
+        if left.ndim == 3:
+            left = rgb_to_gray(left)
+        if right is not None and right.ndim == 3:
+            right = rgb_to_gray(right)
+
+        TIMERS.tic("frontend")
+        if pose_override is not None:
+            T_wc = jnp.asarray(pose_override)
+            self.fe_state = self.fe_state._replace(T_wc=T_wc)
+            tracking_ok = True
+            vo_stats = {}
+        elif cfg.pipeline.use_external_odometry:
+            if right is None:
+                raise ValueError("stereo VO needs a right image")
+            self.fe_state, vo = self._vo(self.fe_state, left, right)
+            T_wc = vo.T_wc
+            tracking_ok = bool(vo.tracking_ok)
+            vo_stats = dict(
+                num_inliers=int(vo.num_inliers), num_quads=int(vo.num_quads)
+            )
+        else:
+            # internal odometry: ICP against the raycast of the active map
+            T_prev = (
+                self.last_fused_T
+                if self.last_fused_T is not None
+                else jnp.eye(4, dtype=jnp.float32)
+            )
+            if depth is None:
+                if right is None:
+                    raise ValueError("need depth or a right image")
+                depth, _ = self._stereo(left, right)
+            if self.frame == 0:
+                T_wc, tracking_ok, vo_stats = T_prev, True, {}
+            else:
+                rc = self._raycast(self.submaps.active, T_prev)
+                res = self._icp(depth, rc.points, rc.normals, rc.mask, T_prev, T_prev)
+                T_wc = res.T_wc
+                tracking_ok = bool(res.converged)
+                vo_stats = dict(icp_rmse=float(res.rmse))
+        TIMERS.toc("frontend", sync=T_wc)
+
+        if depth is None:
+            TIMERS.tic("stereo_depth")
+            depth, _ = self._stereo(left, right)
+            TIMERS.toc("stereo_depth", sync=depth)
+
+        fused = False
+        is_keyframe = (
+            tracking_ok and self.frame % cfg.pipeline.keyframe_every == 0
+        )
+        if is_keyframe:
+            if cfg.postprocess.enabled and self.last_fused_depth is not None:
+                depth = self._postproc(
+                    depth, T_wc, self.last_fused_depth, self.last_fused_T
+                )
+            t0 = _time.perf_counter()
+            TIMERS.tic("fusion")
+            m, self.db = self._fuse(
+                self.submaps.active, self.db, depth, left, T_wc,
+                jnp.int32(self.frame),
+            )
+            self.submaps.active = m
+            TIMERS.toc("fusion", sync=m.tsdf)
+            self.fusion_ms.append((_time.perf_counter() - t0) * 1000.0)
+            self.last_fused_depth = depth
+            self.last_fused_T = T_wc
+            self.current_keyframes += 1
+            fused = True
+
+        self.pose_history.append((self.frame, np.asarray(T_wc)))
+        self.frame += 1
+        return dict(
+            T_wc=T_wc,
+            fused=fused,
+            tracking_ok=tracking_ok,
+            frame=self.frame - 1,
+            num_blocks=self.submaps.local_map_size(self.submaps.active_idx),
+            memory_bytes=int(tsdf_ops.used_memory_bytes(self.submaps.active)),
+            **vo_stats,
+        )
+
+    # -- global consistency ------------------------------------------------
+
+    def apply_pose_updates(self, frame_ids: np.ndarray, poses: np.ndarray) -> int:
+        """Feed backend-optimised poses; runs OnlineCorrection when enough
+        drift accumulated. Returns number of re-fused keyframes."""
+        if not self.cfg.correction.enabled:
+            return 0
+        db_ids = np.asarray(self.db.frame_id)
+        c = db_ids.shape[0]
+        opt_T = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
+        opt_valid = np.zeros((c,), bool)
+        lut = {int(f): i for i, f in enumerate(frame_ids)}
+        for slot, fid in enumerate(db_ids):
+            if int(fid) in lut:
+                opt_T[slot] = poses[lut[int(fid)]]
+                opt_valid[slot] = True
+        m, db, num = self._correct(
+            self.submaps.active, self.db, jnp.asarray(opt_T), jnp.asarray(opt_valid)
+        )
+        self.submaps.active = m
+        self.db = db
+        return int(num)
+
+    def purge_keyframes(self, culled_frame_ids: np.ndarray) -> None:
+        """Remove fused keyframes the backend culled (DenseSlam.cpp:417-429)."""
+        db_ids = np.asarray(self.db.frame_id)
+        culled = jnp.asarray(np.isin(db_ids, culled_frame_ids))
+        m, db = self._purge(self.submaps.active, self.db, culled)
+        self.submaps.active = m
+        self.db = db
+
+    def decay_catchup(self) -> None:
+        """Sequence-end decay (InfiniTamDriver.h:315-331)."""
+        if not self.cfg.decay.enabled:
+            return
+        for _ in range(self.cfg.decay.min_decay_age):
+            self.submaps.active = tsdf_ops.decay(
+                self.submaps.active,
+                self.cfg.decay.max_decay_weight,
+                0,
+                force_all=True,
+            )
+
+    # -- rendering / export ------------------------------------------------
+
+    def raycast_view(self, T_wc: Optional[jax.Array] = None) -> rc_ops.Raycast:
+        T = T_wc if T_wc is not None else jnp.asarray(self.fe_state.T_wc)
+        return self._raycast(self.submaps.active, T)
+
+    def get_preview(self, kind: str, T_wc: Optional[jax.Array] = None):
+        return rc_ops.render_preview(self.raycast_view(T_wc), kind)
+
+    def memory_bytes(self) -> int:
+        return int(tsdf_ops.used_memory_bytes(self.submaps.active))
+
+    @property
+    def current_pose(self) -> np.ndarray:
+        return np.asarray(self.fe_state.T_wc)
+
+    def trajectory(self) -> List[Tuple[int, np.ndarray]]:
+        return list(self.pose_history)
+
+    def mean_fusion_ms(self) -> float:
+        return float(np.mean(self.fusion_ms)) if self.fusion_ms else 0.0

@@ -1,0 +1,109 @@
+"""Sparse VO frontend as a pure, jittable state machine.
+
+Capability target: the reference's per-frame sparse tracking path — libviso2
+stereo odometry driven from DenseSlam::ProcessFrame's async lambda
+(reference: src/DenseSLAM/DenseSlam.cpp:60-86) and the SparseSFProvider
+surface (reference: src/DenseSLAM/InstRecLib/SparseSFProvider.h:52-79).
+The CPU-thread asynchrony (P1 in SURVEY.md section 2c) is replaced by a
+fused device program: detection, quad matching, and the vmapped RANSAC
+solver all live in one jit step, so "overlap" comes from XLA scheduling
+rather than host threads.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..ops import features as feat_ops
+from ..ops import matching, ransac
+from ..utils import lie
+
+
+class FrontendState(NamedTuple):
+    feats_l: feat_ops.Features   # previous-frame left features
+    feats_r: feat_ops.Features   # previous-frame right features
+    T_wc: jax.Array              # current camera-to-world estimate
+    T_delta_prev: jax.Array      # last inter-frame motion (warm start / fallback)
+    initialized: jax.Array       # bool — has a previous frame
+    key: jax.Array               # PRNG key for RANSAC sampling
+    frame: jax.Array             # i32 frame counter
+
+
+class VOOutput(NamedTuple):
+    T_wc: jax.Array
+    T_delta: jax.Array           # prev-cam -> curr-cam
+    num_inliers: jax.Array
+    num_quads: jax.Array
+    tracking_ok: jax.Array       # bool (reference GetTrackingState()==OK)
+
+
+def _empty_features(cfg: SystemConfig) -> feat_ops.Features:
+    n = cfg.frontend.max_features
+    return feat_ops.Features(
+        uv=jnp.zeros((n, 2), jnp.float32),
+        cls=jnp.zeros((n,), jnp.int32),
+        desc=jnp.zeros((n, 32), jnp.float32),
+        score=jnp.zeros((n,), jnp.float32),
+        valid=jnp.zeros((n,), bool),
+    )
+
+
+def init_frontend(cfg: SystemConfig, T_init: jax.Array | None = None,
+                  seed: int = 0) -> FrontendState:
+    eye = jnp.eye(4, dtype=jnp.float32)
+    return FrontendState(
+        feats_l=_empty_features(cfg),
+        feats_r=_empty_features(cfg),
+        T_wc=eye if T_init is None else T_init,
+        T_delta_prev=eye,
+        initialized=jnp.zeros((), bool),
+        key=jax.random.PRNGKey(seed),
+        frame=jnp.zeros((), jnp.int32),
+    )
+
+
+def vo_step(
+    state: FrontendState,
+    left: jax.Array,
+    right: jax.Array,
+    cfg: SystemConfig,
+) -> Tuple[FrontendState, VOOutput]:
+    """One frame of stereo VO. Pure function; jit it once per image size."""
+    fc = cfg.frontend
+    f_lc = feat_ops.detect(left, fc)
+    f_rc = feat_ops.detect(right, fc)
+    f_lc = feat_ops.bucket(f_lc, cfg.rig.intr.width, cfg.rig.intr.height, fc)
+
+    q = matching.quad_match(f_lc, f_rc, state.feats_l, state.feats_r, fc)
+    key, sub = jax.random.split(state.key)
+    res = ransac.estimate_stereo_motion(q, cfg.rig, fc, sub,
+                                        T_init=state.T_delta_prev)
+
+    # Constant-velocity fallback when RANSAC fails (reference keeps the last
+    # motion on libviso2 failure, VisoSparseSFProvider.cpp:49-51).
+    use_est = state.initialized & res.ok
+    T_delta = jnp.where(use_est, res.T_delta, state.T_delta_prev)
+    T_delta = jnp.where(state.initialized, T_delta, jnp.eye(4, dtype=jnp.float32))
+    T_wc = state.T_wc @ lie.inv_T(T_delta)
+
+    new_state = FrontendState(
+        feats_l=f_lc,
+        feats_r=f_rc,
+        T_wc=T_wc,
+        T_delta_prev=T_delta,
+        initialized=jnp.ones((), bool),
+        key=key,
+        frame=state.frame + 1,
+    )
+    out = VOOutput(
+        T_wc=T_wc,
+        T_delta=T_delta,
+        num_inliers=res.num_inliers,
+        num_quads=jnp.sum(q.valid.astype(jnp.int32)),
+        tracking_ok=use_est | ~state.initialized,
+    )
+    return new_state, out

@@ -1,0 +1,75 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denseslam_tpu.config import tiny_test_config, StereoConfig
+from denseslam_tpu.io import synthetic
+from denseslam_tpu.ops import stereo
+
+
+@pytest.fixture(scope="module")
+def pair():
+    cfg = tiny_test_config(width=160, height=120, baseline_m=0.2)
+    cfg = dataclasses.replace(cfg, stereo=StereoConfig(max_disparity=48))
+    T = jnp.eye(4, dtype=jnp.float32)
+    left, right, depth_gt = synthetic.render_stereo(T, cfg.rig)
+    return cfg, left, right, depth_gt
+
+
+def _eval(depth, valid, depth_gt, cfg):
+    d = np.asarray(depth)
+    v = np.asarray(valid)
+    gt = np.asarray(depth_gt)
+    # only evaluate where gt is in range the disparity sweep can see
+    fB = cfg.rig.intr.fx * cfg.rig.baseline_m
+    min_d = fB / (cfg.stereo.max_disparity - 1)
+    ok = v & (gt > min_d) & (gt < 9.0)
+    coverage = ok.sum() / ((gt > min_d) & (gt < 9.0)).sum()
+    err = np.abs(d[ok] - gt[ok])
+    rel = err / gt[ok]
+    return coverage, np.median(rel), (rel < 0.05).mean()
+
+
+def test_block_match_depth(pair):
+    cfg, left, right, depth_gt = pair
+    c = dataclasses.replace(cfg.stereo, use_sgm=False)
+    depth, valid = stereo.compute_depth(left, right, cfg.rig, c)
+    coverage, med_rel, frac5 = _eval(depth, valid, depth_gt, cfg)
+    assert coverage > 0.5, coverage
+    assert med_rel < 0.03, med_rel
+    assert frac5 > 0.8, frac5
+
+
+def test_sgm_improves_coverage(pair):
+    cfg, left, right, depth_gt = pair
+    bm = dataclasses.replace(cfg.stereo, use_sgm=False)
+    d_bm, v_bm = stereo.compute_depth(left, right, cfg.rig, bm)
+    d_sgm, v_sgm = stereo.compute_depth(left, right, cfg.rig, cfg.stereo)
+    cov_bm, med_bm, _ = _eval(d_bm, v_bm, depth_gt, cfg)
+    cov_sgm, med_sgm, frac5 = _eval(d_sgm, v_sgm, depth_gt, cfg)
+    assert cov_sgm >= cov_bm * 0.95
+    assert med_sgm < 0.03, med_sgm
+    assert frac5 > 0.85, frac5
+
+
+def test_stereo_jit(pair):
+    cfg, left, right, depth_gt = pair
+    f = jax.jit(lambda l, r: stereo.compute_depth(l, r, cfg.rig, cfg.stereo))
+    depth, valid = f(left, right)
+    assert bool(valid.any())
+
+
+def test_lr_check_kills_occlusions(pair):
+    """Pixels occluded in the right view must be invalidated, not hallucinated."""
+    cfg, left, right, depth_gt = pair
+    depth, valid = stereo.compute_depth(left, right, cfg.rig, cfg.stereo)
+    d = np.asarray(depth)
+    gt = np.asarray(depth_gt)
+    v = np.asarray(valid)
+    # gross outliers among valid pixels should be rare
+    ok = v & (gt > 0)
+    rel = np.abs(d[ok] - gt[ok]) / gt[ok]
+    assert (rel > 0.2).mean() < 0.05, (rel > 0.2).mean()
