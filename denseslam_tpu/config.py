@@ -114,10 +114,11 @@ class StereoConfig:
 class BackendConfig:
     """Local BA + pose graph capacities (static)."""
     window_keyframes: int = 8
-    max_landmarks: int = 512
+    max_landmarks: int = 1024
     max_obs_per_landmark: int = 8
-    ba_iters: int = 10
+    ba_iters: int = 12
     huber_px: float = 2.0
+    outlier_px: float = 5.0   # chi2 gate between BA rounds
     pg_iters: int = 20
     max_pg_nodes: int = 256
     max_pg_edges: int = 512

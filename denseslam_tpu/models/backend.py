@@ -1,0 +1,330 @@
+"""Sparse mapping backend: keyframe window BA, loop closure, pose graph.
+
+Capability target: ORB-SLAM2's LocalMapping (local BA over the covisibility
+window) + LoopClosing (retrieval, geometric verification, pose-graph
+relaxation) — the two CPU threads of the reference's sparse engine
+(reference surface: SURVEY.md section 2b "ORB-SLAM2-API-M fork"), whose
+optimised keyframes drive dense-map correction via
+`GetOrbSlamLocalBAKeyframe` (OrbSLAMDriver.h:100-102) and OnlineCorrection
+(DenseSlam.cpp:298-432).
+
+TPU re-design: the backend is a host-side keyframe registry around three
+jitted programs —
+  * `build_window_problem`: stacked (K, N) feature arrays -> BAProblem via
+    batched stereo triangulation + MXU descriptor association,
+  * `ba.solve`: Schur-complement bundle adjustment,
+  * `posegraph.optimize`: loop relaxation over all keyframes.
+Retrieval uses a descriptor-mean signature (BoW-free; cosine similarity is
+one matvec) with RANSAC geometric verification via the stereo-VO solver.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..ops import ba, matching, posegraph, ransac
+from ..ops.features import Features
+from ..utils import lie
+
+
+class Keyframe(NamedTuple):
+    frame_id: int
+    T_wc: np.ndarray
+    feats_l: Features
+    feats_r: Features
+    signature: np.ndarray  # (32,) retrieval signature
+
+
+# ---------------------------------------------------------------------------
+# Window BA problem construction (jitted)
+# ---------------------------------------------------------------------------
+
+def build_window_problem(
+    feats_l: Features,      # stacked (K, N, ...) left features
+    feats_r: Features,      # stacked (K, N, ...)
+    T_wc: jax.Array,        # (K, 4, 4)
+    cfg: SystemConfig,
+    fixed: jax.Array | None = None,   # (K,) gauge mask; default: kf0 only
+) -> ba.BAProblem:
+    """Triangulate landmarks from each keyframe's stereo matches, associate
+    them across the window by descriptor + projection gating."""
+    rig = cfg.rig
+    intr = rig.intr
+    bc = cfg.backend
+    K = T_wc.shape[0]
+    per_kf = bc.max_landmarks // K
+
+    stereo_idx = jax.vmap(lambda a, b: matching.match_stereo(a, b, cfg.frontend))(
+        feats_l, feats_r
+    )                                                     # (K, N)
+
+    # -- landmark selection: strongest stereo-matched features per keyframe
+    has_st = stereo_idx >= 0
+    disp = feats_l.uv[..., 0] - jnp.take_along_axis(
+        feats_r.uv[..., 0], jnp.maximum(stereo_idx, 0), axis=1
+    )
+    good = feats_l.valid & has_st & (disp > 1.0)
+    sel_score = jnp.where(good, feats_l.score, -jnp.inf)
+    _, host_idx = jax.lax.top_k(sel_score, per_kf)        # (K, per_kf)
+    host_ok = jnp.take_along_axis(good, host_idx, axis=1)
+
+    uv_l = jnp.take_along_axis(feats_l.uv, host_idx[..., None], axis=1)
+    ridx = jnp.take_along_axis(stereo_idx, host_idx, axis=1)
+    uv_r = jnp.take_along_axis(feats_r.uv, jnp.maximum(ridx, 0)[..., None], axis=1)
+    desc = jnp.take_along_axis(feats_l.desc, host_idx[..., None], axis=1)
+    cls = jnp.take_along_axis(feats_l.cls, host_idx, axis=1)
+
+    d = jnp.maximum(uv_l[..., 0] - uv_r[..., 0], 1e-3)
+    z = intr.fx * rig.baseline_m / d
+    x = (uv_l[..., 0] - intr.cx) * rig.baseline_m / d
+    y = (uv_l[..., 1] - intr.cy) * rig.baseline_m / d * (intr.fx / intr.fy)
+    pts_cam = jnp.stack([x, y, z], axis=-1)               # (K, per_kf, 3)
+    pts_w = jax.vmap(lie.transform_points)(T_wc, pts_cam)
+
+    L = K * per_kf
+    pts_w = pts_w.reshape(L, 3)
+    desc = desc.reshape(L, 32)
+    cls = cls.reshape(L)
+    point_valid = (host_ok & (z > 0.2) & (z < 80.0)).reshape(L)
+
+    # -- association: landmark descriptors vs every keyframe's left features
+    T_cw = lie.inv_T(T_wc)
+
+    def obs_in_kf(T_cw_k, fl_k, fr_k, st_k):
+        # project landmarks
+        pc = lie.transform_points(T_cw_k, pts_w)
+        zc = jnp.maximum(pc[:, 2], 1e-6)
+        pu = pc[:, 0] / zc * intr.fx + intr.cx
+        pv = pc[:, 1] / zc * intr.fy + intr.cy
+        in_img = (pc[:, 2] > 0.2) & (pu >= 0) & (pu < intr.width) & (pv >= 0) & (pv < intr.height)
+
+        cost = (
+            jnp.sum(desc * desc, axis=-1)[:, None]
+            + jnp.sum(fl_k.desc * fl_k.desc, axis=-1)[None, :]
+            - 2.0 * desc @ fl_k.desc.T
+        )
+        du = pu[:, None] - fl_k.uv[None, :, 0]
+        dv = pv[:, None] - fl_k.uv[None, :, 1]
+        gate = (
+            point_valid[:, None] & in_img[:, None] & fl_k.valid[None, :]
+            & (cls[:, None] == fl_k.cls[None, :])
+            & (jnp.abs(du) < 12.0) & (jnp.abs(dv) < 12.0)
+        )
+        cost = jnp.where(gate, cost, 1e9)
+        midx = matching.mutual_nn(cost)                   # (L,)
+        ok = midx >= 0
+        uv = fl_k.uv[jnp.maximum(midx, 0)]
+        # right obs via the keyframe's stereo match
+        rmatch = st_k[jnp.maximum(midx, 0)]
+        has_r = ok & (rmatch >= 0)
+        ur = fr_k.uv[jnp.maximum(rmatch, 0), 0]
+        obs = jnp.stack(
+            [uv[:, 0], uv[:, 1], jnp.where(has_r, ur, -1.0)], axis=-1
+        )
+        return obs, ok
+
+    obs, mask = jax.vmap(obs_in_kf)(T_cw, feats_l, feats_r, stereo_idx)
+    obs = jnp.transpose(obs, (1, 0, 2))                    # (L, K, 3)
+    mask = jnp.transpose(mask, (1, 0))                     # (L, K)
+
+    # landmarks need >= 2 observations to constrain anything
+    point_valid = point_valid & (jnp.sum(mask.astype(jnp.int32), axis=1) >= 2)
+
+    if fixed is None:
+        fixed = jnp.zeros((K,), bool).at[0].set(True)
+    return ba.BAProblem(
+        T_wc=T_wc,
+        points_w=pts_w,
+        obs=obs,
+        obs_mask=mask & point_valid[:, None],
+        fixed=fixed,
+        point_valid=point_valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backend: host orchestration
+# ---------------------------------------------------------------------------
+
+class Backend:
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.keyframes: List[Keyframe] = []
+        self.odom_edges: List[Tuple[int, int, np.ndarray, float]] = []
+        self.loop_edges: List[Tuple[int, int, np.ndarray, float]] = []
+
+        self._build = jax.jit(functools.partial(build_window_problem, cfg=cfg))
+        self._ba = jax.jit(
+            functools.partial(ba.solve, rig=cfg.rig, cfg=cfg.backend)
+        )
+        self._pg = jax.jit(
+            functools.partial(posegraph.optimize, cfg=cfg.backend)
+        )
+        self._verify = jax.jit(
+            functools.partial(
+                _verify_loop, rig=cfg.rig, fcfg=cfg.frontend
+            )
+        )
+
+    # -- keyframe registry -------------------------------------------------
+
+    def add_keyframe(self, frame_id: int, T_wc: np.ndarray,
+                     feats_l: Features, feats_r: Features) -> int:
+        sig = _signature(feats_l)
+        kf = Keyframe(frame_id, np.asarray(T_wc), feats_l, feats_r, sig)
+        if self.keyframes:
+            prev = self.keyframes[-1]
+            T_rel = np.asarray(
+                lie.inv_T(jnp.asarray(prev.T_wc)) @ jnp.asarray(T_wc)
+            )
+            self.odom_edges.append((len(self.keyframes) - 1, len(self.keyframes), T_rel, 1.0))
+        self.keyframes.append(kf)
+        return len(self.keyframes) - 1
+
+    @property
+    def num_keyframes(self) -> int:
+        return len(self.keyframes)
+
+    def keyframe_poses(self) -> Tuple[np.ndarray, np.ndarray]:
+        ids = np.array([k.frame_id for k in self.keyframes], np.int64)
+        poses = np.stack([k.T_wc for k in self.keyframes]) if self.keyframes else np.zeros((0, 4, 4))
+        return ids, poses
+
+    # -- local BA ----------------------------------------------------------
+
+    def local_ba(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Bundle-adjust the most recent window; updates stored poses.
+
+        Returns (frame_ids, optimized_poses) for the window, or None."""
+        K = self.cfg.backend.window_keyframes
+        if len(self.keyframes) < 2:
+            return None
+        window = self.keyframes[-K:]
+        k = len(window)
+        if k < 2:
+            return None
+        # pad the window to the static K with EMPTY gauge-fixed entries:
+        # duplicated real keyframes would double-count their observations
+        # and over-anchor landmarks (measurably corrupts the solve).
+        pad = K - k
+        from .frontend import _empty_features
+        empty = _empty_features(self.cfg)
+        fl = _stack_features([empty] * pad + [kf.feats_l for kf in window])
+        fr = _stack_features([empty] * pad + [kf.feats_r for kf in window])
+        T = jnp.asarray(
+            np.stack([np.eye(4, dtype=np.float32)] * pad
+                     + [kf.T_wc for kf in window])
+        )
+        fixed = jnp.arange(K) <= pad
+        problem = self._build(fl, fr, T, fixed=fixed)
+        res = self._ba(problem)
+        opt = np.asarray(res.T_wc)[pad:]
+        base = len(self.keyframes) - k
+        for i, kf in enumerate(window):
+            self.keyframes[base + i] = kf._replace(T_wc=opt[i])
+        ids = np.array([kf.frame_id for kf in window], np.int64)
+        return ids, opt
+
+    # -- loop closure ------------------------------------------------------
+
+    def detect_loop(self, min_gap: int = 10,
+                    min_similarity: float = 0.92,
+                    min_inliers: int = 40) -> Optional[Tuple[int, int]]:
+        """Try to close a loop for the newest keyframe.
+
+        Returns (query_idx, candidate_idx) if a verified loop was added."""
+        if len(self.keyframes) < min_gap + 2:
+            return None
+        qi = len(self.keyframes) - 1
+        q = self.keyframes[qi]
+        sigs = np.stack([k.signature for k in self.keyframes[: qi - min_gap]])
+        sims = sigs @ q.signature
+        ci = int(np.argmax(sims))
+        if sims[ci] < min_similarity:
+            return None
+        cand = self.keyframes[ci]
+        T_rel, n_inl, ok = self._verify(
+            q.feats_l, q.feats_r, cand.feats_l, cand.feats_r,
+            jax.random.PRNGKey(qi),
+        )
+        if not bool(ok) or int(n_inl) < min_inliers:
+            return None
+        # T_rel maps cand-frame points to query-frame: T_cand_query = ?
+        # estimate_stereo_motion treats (cand)=prev, (query)=curr:
+        # p_curr = T_delta p_prev  =>  T_wq = T_wc_cand @ inv(T_delta)
+        # edge i->j with T_ij = T_i^-1 T_j, i=cand, j=query:
+        T_ij = np.asarray(lie.inv_T(jnp.asarray(T_rel)))
+        self.loop_edges.append((ci, qi, T_ij, 10.0))
+        return qi, ci
+
+    def optimize_graph(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Pose-graph relaxation over all keyframes; updates stored poses.
+
+        Returns (frame_ids, optimized_poses)."""
+        n_cap = self.cfg.backend.max_pg_nodes
+        e_cap = self.cfg.backend.max_pg_edges
+        n = min(len(self.keyframes), n_cap)
+        kfs = self.keyframes[-n:]
+        offset = len(self.keyframes) - n
+        g = posegraph.make_graph(self.cfg.backend)
+        g = g._replace(
+            T_wc=g.T_wc.at[:n].set(jnp.asarray(np.stack([k.T_wc for k in kfs]))),
+            node_valid=g.node_valid.at[:n].set(True),
+        )
+        edges = [
+            (i - offset, j - offset, T, w)
+            for (i, j, T, w) in self.odom_edges + self.loop_edges
+            if i >= offset and j >= offset
+        ][:e_cap]
+        if edges:
+            ei = jnp.asarray([e[0] for e in edges], dtype=jnp.int32)
+            ej = jnp.asarray([e[1] for e in edges], dtype=jnp.int32)
+            Tij = jnp.asarray(np.stack([e[2] for e in edges]))
+            w = jnp.asarray([e[3] for e in edges], dtype=jnp.float32)
+            ne = len(edges)
+            g = g._replace(
+                edge_i=g.edge_i.at[:ne].set(ei),
+                edge_j=g.edge_j.at[:ne].set(ej),
+                T_ij=g.T_ij.at[:ne].set(Tij),
+                edge_weight=g.edge_weight.at[:ne].set(w),
+            )
+        g = self._pg(g)
+        opt = np.asarray(g.T_wc[:n])
+        for i, kf in enumerate(kfs):
+            self.keyframes[offset + i] = kf._replace(T_wc=opt[i])
+        ids = np.array([k.frame_id for k in kfs], np.int64)
+        return ids, opt
+
+
+def _signature(feats: Features) -> np.ndarray:
+    """Mean valid descriptor, L2-normalised — the BoW-free retrieval key."""
+    d = np.asarray(feats.desc)
+    v = np.asarray(feats.valid)[:, None]
+    s = (d * v).sum(axis=0) / max(v.sum(), 1)
+    n = np.linalg.norm(s)
+    return (s / n if n > 1e-9 else s).astype(np.float32)
+
+
+def _stack_features(fs: List[Features]) -> Features:
+    return Features(
+        uv=jnp.stack([f.uv for f in fs]),
+        cls=jnp.stack([f.cls for f in fs]),
+        desc=jnp.stack([f.desc for f in fs]),
+        score=jnp.stack([f.score for f in fs]),
+        valid=jnp.stack([f.valid for f in fs]),
+    )
+
+
+def _verify_loop(q_l: Features, q_r: Features, c_l: Features, c_r: Features,
+                 key, rig, fcfg):
+    """Geometric verification: treat candidate as 'prev', query as 'curr',
+    run the stereo RANSAC solver on their quad matches."""
+    q = matching.quad_match(q_l, q_r, c_l, c_r, fcfg)
+    res = ransac.estimate_stereo_motion(q, rig, fcfg, key)
+    return res.T_delta, res.num_inliers, res.ok

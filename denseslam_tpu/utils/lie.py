@@ -58,7 +58,10 @@ def so3_exp(w: jax.Array) -> jax.Array:
 def so3_log(R: jax.Array) -> jax.Array:
     """Log map of SO(3), safe for angles in [0, pi)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # Clip strictly inside (-1, 1): arccos' diverges at +-1 and poisons
+    # jacfwd/jacrev through pose-graph residuals at near-identity edges.
+    # The value is unaffected (w_raw is ~0 exactly where the clip bites).
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-6, 1.0 - 1e-6)
     theta = jnp.arccos(cos_t)
     w_raw = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
     sin_t = jnp.sin(theta)
