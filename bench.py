@@ -1,0 +1,95 @@
+"""Benchmark: dense-fusion throughput on one chip, KITTI-scale frames.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric (BASELINE.md): fused frames/s/chip at KITTI stereo
+resolution (1226x370, 50 m range, 6 cm voxels) — the reference's full
+pipeline runs ~10 FPS on its contemporary GPU (design assumption,
+reference: src/DenseSLAM/DenseSlam.h:488-489), so vs_baseline = fps / 10.
+One fused frame = hash allocate + TSDF integrate + slide-window + decay
+(the reference's per-keyframe fusion tail, DenseSlam.cpp:212-228).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from denseslam_tpu.config import (
+        SlideWindowParams,
+        SystemConfig,
+        TsdfConfig,
+        VoxelDecayParams,
+    )
+    from denseslam_tpu.io import synthetic
+    from denseslam_tpu.models.dense_slam import fuse_keyframe, make_fusion_db
+    from denseslam_tpu.ops import tsdf as tsdf_ops
+    from denseslam_tpu.utils.camera import Intrinsics, StereoRig
+
+    # KITTI-scale workload (odometry camera geometry)
+    w, h = 1226, 370
+    intr = Intrinsics(fx=707.09, fy=707.09, cx=601.89, cy=183.11,
+                      width=w, height=h)
+    rig = StereoRig(intr=intr, baseline_m=0.537)
+    tsdf = TsdfConfig(
+        voxel_size_m=0.06,
+        trunc_dist_m=0.24,
+        table_slots=1 << 17,
+        max_visible_blocks=1 << 14,
+        max_alloc_per_frame=1 << 14,
+        max_depth_m=50.0,
+        raycast_steps=192,
+    )
+    cfg = SystemConfig(
+        rig=rig,
+        tsdf=tsdf,
+        decay=VoxelDecayParams(enabled=True, min_decay_age=30, max_decay_weight=2),
+        slide_window=SlideWindowParams(enabled=True, max_age=60),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        pipeline=dataclasses.replace(cfg.pipeline, fusion_db_capacity=8),
+    )
+
+    fuse = jax.jit(lambda m, db, d, g, T, f: fuse_keyframe(m, db, d, g, T, f, cfg))
+
+    # synthetic street-like scene rendered at KITTI geometry
+    poses = synthetic.make_trajectory(4, step_m=0.8, yaw_rate=0.003)
+    frames = []
+    for i in range(4):
+        T = jnp.asarray(poses[i])
+        gray, depth = synthetic.render_view(T, intr)
+        frames.append((jax.device_put(gray), jax.device_put(depth), T))
+
+    m = tsdf_ops.make_map(cfg.tsdf)
+    db = make_fusion_db(cfg)
+
+    # warmup / compile
+    m, db = fuse(m, db, frames[0][1], frames[0][0], frames[0][2], jnp.int32(0))
+    jax.block_until_ready(m.tsdf)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        g, d, T = frames[i % len(frames)]
+        m, db = fuse(m, db, d, g, T, jnp.int32(i + 1))
+    jax.block_until_ready(m.tsdf)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        "metric": "fused_frames_per_s_per_chip_kitti",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Full SLAM system: frontend + dense fusion + sparse backend, two-rate.
+
+This is the complete analogue of the reference's running system: the
+per-frame path (sparse tracking + keyframe-gated fusion, DenseSlam::
+ProcessFrame) plus the keyframe-rate backend (local BA + loop closing)
+whose optimised poses flow back into the dense map through online
+correction — the handoff the reference implements with the LocalMapping
+keyframe queue and cond-var back-channels (reference:
+OrbSLAMDriver.h:100-118, DenseSlam.cpp:89-100, 175-179).
+
+Thread replacement (SURVEY.md section 2c P1/P2): instead of Tracking /
+LocalMapping / LoopClosing CPU threads, the backend runs as explicitly
+scheduled jitted programs every `ba_every` keyframes — deterministic,
+single-process, device-resident.
+
+Also hosts the PD controller on the feature budget (reference:
+DenseSlam.h:382-409, gains kp=0.8 kd=0.08 at :486-489): the reference
+modulates ORB feature count to hold ~100 ms/frame; here the budget
+modulates RANSAC hypothesis count (the comparable knob under jit —
+feature caps are compile-time constants).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from .backend import Backend
+from .dense_slam import DenseSLAM
+
+
+class PDController:
+    """PD control of a latency-coupled budget (reference DenseSlam.h:382-409)."""
+
+    def __init__(self, kp: float, kd: float, target_ms: float,
+                 lo: float = 0.25, hi: float = 1.0):
+        self.kp, self.kd = kp, kd
+        self.target = target_ms
+        self.lo, self.hi = lo, hi
+        self.prev_err = 0.0
+        self.scale = 1.0
+
+    def update(self, measured_ms: float) -> float:
+        err = (self.target - measured_ms) / self.target
+        d = err - self.prev_err
+        self.prev_err = err
+        self.scale = float(np.clip(self.scale + self.kp * err * 0.1 + self.kd * d, self.lo, self.hi))
+        return self.scale
+
+
+class SLAMSystem:
+    def __init__(self, cfg: SystemConfig, seed: int = 0,
+                 ba_every: int = 4, loop_every: int = 1):
+        self.cfg = cfg
+        self.slam = DenseSLAM(cfg, seed=seed)
+        self.backend = Backend(cfg)
+        self.ba_every = ba_every
+        self.loop_every = loop_every
+        self.pd = PDController(cfg.frontend.pd_kp, cfg.frontend.pd_kd,
+                               cfg.frontend.target_frame_ms)
+        self.num_loops = 0
+        self.num_corrections = 0
+
+    def process_frame(self, left, right=None, depth=None,
+                      timestamp: Optional[float] = None) -> dict:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = self.slam.process_frame(left, right, depth=depth,
+                                      timestamp=timestamp)
+
+        if out["fused"]:
+            # register the fused keyframe with the backend (the
+            # getProcessKeyFrames handoff, reversed direction)
+            fe = self.slam.fe_state
+            kf_idx = self.backend.add_keyframe(
+                out["frame"], np.asarray(out["T_wc"]), fe.feats_l, fe.feats_r
+            )
+            nkf = self.backend.num_keyframes
+
+            if self.loop_every and nkf % self.loop_every == 0:
+                hit = self.backend.detect_loop()
+                if hit is not None:
+                    self.num_loops += 1
+                    ids, opt = self.backend.optimize_graph()
+                    self.num_corrections += self.slam.apply_pose_updates(ids, opt)
+                    self._resync_pose()
+            if self.ba_every and nkf >= 2 and nkf % self.ba_every == 0:
+                res = self.backend.local_ba()
+                if res is not None:
+                    ids, opt = res
+                    self.num_corrections += self.slam.apply_pose_updates(ids, opt)
+                    self._resync_pose()
+
+        frame_ms = (_time.perf_counter() - t0) * 1000.0
+        out["frame_ms"] = frame_ms
+        out["budget_scale"] = self.pd.update(frame_ms)
+        out["num_loops"] = self.num_loops
+        out["num_corrections"] = self.num_corrections
+        return out
+
+    def _resync_pose(self) -> None:
+        """Propagate the backend's latest optimised keyframe pose into the
+        frontend estimate (the reference's pose back-channel,
+        OrbSLAMDriver.h:120-122)."""
+        if not self.backend.keyframes:
+            return
+        last = self.backend.keyframes[-1]
+        # re-anchor the frontend at the optimised pose of its latest keyframe
+        fe = self.slam.fe_state
+        T_opt = jnp.asarray(last.T_wc)
+        self.slam.fe_state = fe._replace(T_wc=T_opt)
+
+    def finish(self) -> None:
+        """Sequence end: decay catch-up (reference DecayCatchup)."""
+        self.slam.decay_catchup()
+
+    # telemetry passthroughs
+    def memory_bytes(self) -> int:
+        return self.slam.memory_bytes()
+
+    def trajectory(self):
+        return self.slam.trajectory()
+
+    def keyframe_trajectory(self):
+        return self.backend.keyframe_poses()

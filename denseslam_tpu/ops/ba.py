@@ -95,11 +95,20 @@ def _huber_w(r, delta):
     return jnp.where(n <= delta, 1.0, delta / jnp.maximum(n, 1e-9))
 
 
-def solve(problem: BAProblem, rig: StereoRig, cfg: BackendConfig) -> BAResult:
+def solve(problem: BAProblem, rig: StereoRig, cfg: BackendConfig,
+          axis_name: str | None = None) -> BAResult:
     """Damped GN with Schur elimination; a chi2 outlier pass at half-time
     drops gross wrong associations (ORB-SLAM2 does the same between its g2o
-    rounds) — Huber alone lets them bias the solve when inliers are thin."""
+    rounds) — Huber alone lets them bias the solve when inliers are thin.
+
+    axis_name: when set, the landmark axis is assumed sharded across that
+    mesh axis (each device holds a slice of L) and every camera-side
+    reduction — U, b_c, the Schur complement, costs — is `psum`ed. This IS
+    the distributed Schur-complement BA of the north-star design: landmark
+    blocks (V, dx_p) stay device-local, only (6K)^2-sized aggregates ride
+    the interconnect."""
     K = problem.T_wc.shape[0]
+    allsum = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
     delta = cfg.huber_px
     mono = problem.obs[..., 2] < 0.0  # no right obs: zero the ur residual row
     zero_ur = mono[..., None] & (jnp.arange(3) == 2)
@@ -109,7 +118,7 @@ def solve(problem: BAProblem, rig: StereoRig, cfg: BackendConfig) -> BAResult:
         r = jnp.where(zero_ur, 0.0, r)
         w = _huber_w(r, delta) * mask
         ok = w * (p[..., 2] > 0.05)
-        return jnp.sum(ok[..., None] * r * r), r, p, ok
+        return allsum(jnp.sum(ok[..., None] * r * r)), r, p, ok
 
     def gn_iter(mask):
         def step(carry, _):
@@ -125,10 +134,10 @@ def solve(problem: BAProblem, rig: StereoRig, cfg: BackendConfig) -> BAResult:
             J_pt = jnp.einsum("lkab,kbc->lkac", J_pm, R_cw)
             wm = (w * mask * problem.point_valid[:, None])[..., None, None]
             Jc_w = J_cam * wm
-            U = jnp.einsum("lkai,lkaj->kij", Jc_w, J_cam)
+            U = allsum(jnp.einsum("lkai,lkaj->kij", Jc_w, J_cam))
             V = jnp.einsum("lkai,lkaj->lij", J_pt * wm, J_pt)
             W = jnp.einsum("lkai,lkaj->lkij", Jc_w, J_pt)
-            b_c = jnp.einsum("lkai,lka->ki", Jc_w, r)
+            b_c = allsum(jnp.einsum("lkai,lka->ki", Jc_w, r))
             b_p = jnp.einsum("lkai,lka->li", J_pt * wm, r)
 
             damp_c = lm_damp * jnp.maximum(
@@ -141,9 +150,9 @@ def solve(problem: BAProblem, rig: StereoRig, cfg: BackendConfig) -> BAResult:
             Vinv = jnp.linalg.inv(V)
             WVinv = jnp.einsum("lkij,ljm->lkim", W, Vinv)
             # Schur: S = blockdiag(U) - sum_l W Vinv W^T
-            S = -jnp.einsum("lkim,lqjm->kqij", WVinv, W)
+            S = -allsum(jnp.einsum("lkim,lqjm->kqij", WVinv, W))
             S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
-            rhs = b_c - jnp.einsum("lkim,lm->ki", WVinv, b_p)
+            rhs = b_c - allsum(jnp.einsum("lkim,lm->ki", WVinv, b_p))
 
             fixm = problem.fixed
             S = jnp.where(
@@ -196,5 +205,5 @@ def solve(problem: BAProblem, rig: StereoRig, cfg: BackendConfig) -> BAResult:
         points_w=pts_f,
         initial_cost=init_cost,
         final_cost=final_cost,
-        num_obs=jnp.sum(mask1.astype(jnp.int32)),
+        num_obs=allsum(jnp.sum(mask1.astype(jnp.int32))),
     )

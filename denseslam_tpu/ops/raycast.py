@@ -55,12 +55,17 @@ def raycast(
     t_max = cfg.max_depth_m * norm[:, 0]        # ray-length bound
 
     def step(carry, _):
-        t_cur, prev_sdf, prev_t, hit_t, done = carry
+        t_cur, prev_sdf, prev_alloc, prev_t, hit_t, done = carry
         pts = origin + unit_w * t_cur[:, None]
         sdf, wgt = tsdf_ops.sample_tsdf_nearest(m, pts, cfg)
         allocated = wgt > 0.0
 
-        crossed = allocated & (prev_sdf > 0.0) & (sdf <= 0.0) & ~done
+        # A crossing needs BOTH samples observed: entering a negative region
+        # straight from unallocated space is a back-side phantom (matters at
+        # the map frontier, and is load-bearing for the sharded map, where
+        # each shard sees only its owned blocks and phantoms would win the
+        # cross-shard min-depth combine).
+        crossed = allocated & prev_alloc & (prev_sdf > 0.0) & (sdf <= 0.0) & ~done
         denom = prev_sdf - sdf
         frac = jnp.where(jnp.abs(denom) > 1e-6, prev_sdf / jnp.maximum(denom, 1e-6), 0.5)
         t_surf = prev_t + (t_cur - prev_t) * frac
@@ -74,18 +79,25 @@ def raycast(
             jnp.maximum(sdf * mu, cfg.voxel_size_m * 0.5),
             block_m * 0.8,
         )
-        new_prev_sdf = jnp.where(allocated, sdf, 1.0)
         t_next = jnp.where(done, t_cur, t_cur + adv)
-        return (t_next, new_prev_sdf, jnp.where(done, prev_t, t_cur), hit_t, done), None
+        return (
+            t_next,
+            jnp.where(allocated, sdf, 1.0),
+            allocated | done,
+            jnp.where(done, prev_t, t_cur),
+            hit_t,
+            done,
+        ), None
 
     init = (
         t0,
         jnp.ones((n,), dtype=jnp.float32),
+        jnp.zeros((n,), dtype=bool),
         t0,
         jnp.zeros((n,), dtype=jnp.float32),
         jnp.zeros((n,), dtype=bool),
     )
-    (tf, _, _, hit_t, done), _ = jax.lax.scan(step, init, None, length=cfg.raycast_steps)
+    (tf, _, _, _, hit_t, done), _ = jax.lax.scan(step, init, None, length=cfg.raycast_steps)
 
     hit = hit_t > 0.0
     pts_w = origin + unit_w * hit_t[:, None]

@@ -1,0 +1,192 @@
+"""Sharded voxel-block TSDF map: SPMD over a `map` device axis.
+
+Distribution design (SURVEY.md section 2c P3/P5, BASELINE.json north star):
+the slot axis of every MapState array is sharded across devices; each device
+runs an INDEPENDENT local hash table over the blocks it owns. Ownership is a
+pure function of the block coordinate — a hash of the block's supertile
+(blocks grouped 4^3 to keep surface crossings off ownership boundaries) —
+so:
+
+  * allocation/integration need NO communication: every device computes the
+    frame's touched-block set (replicated elementwise math), keeps its owned
+    subset, and fuses locally;
+  * raycast: each device marches rays through its local map only; the true
+    surface is recovered with one `pmin` over per-device hit depths (a miss
+    = +inf). Crossings are only detected between two *observed* samples
+    (ops/raycast.py), so a shard can never report a phantom in front of
+    another shard's surface;
+  * decay / sliding window are purely local elementwise passes;
+  * telemetry (block counts, memory) is a `psum`.
+
+This mirrors how the reference's single-GPU hash table would scale: spatial
+partitioning of the block table, not replication.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SystemConfig, TsdfConfig
+from ..ops import raycast as rc_ops
+from ..ops import tsdf as tsdf_ops
+from ..utils.camera import Intrinsics
+from .mesh import MAP_AXIS
+
+SUPER_SHIFT = 2  # supertile = 4x4x4 blocks (~2 m at 6 cm voxels)
+
+_OWNER_P1 = jnp.int32(-1640531527)  # 2654435761 as wrapped int32
+_OWNER_P2 = jnp.int32(40503)
+_OWNER_P3 = jnp.int32(1597334677)
+
+
+def owner_of(bcoords: jax.Array, n_devices: int) -> jax.Array:
+    """Device owning a block coord (..., 3) — supertile hash, NOT the slot
+    hash (decorrelated so shards stay load-balanced)."""
+    s = bcoords >> SUPER_SHIFT
+    h = (s[..., 0] * _OWNER_P1) ^ (s[..., 1] * _OWNER_P2) ^ (s[..., 2] * _OWNER_P3)
+    h = h ^ (h >> 8)
+    return (h & jnp.int32(2 ** 30 - 1)) % jnp.int32(n_devices)
+
+
+def local_tsdf_config(cfg: TsdfConfig, n_devices: int) -> TsdfConfig:
+    """Per-device table config: slots divided across devices."""
+    assert cfg.table_slots % n_devices == 0
+    return dataclasses.replace(cfg, table_slots=cfg.table_slots // n_devices)
+
+
+def make_sharded_map(cfg: TsdfConfig, mesh: Mesh) -> tsdf_ops.MapState:
+    """Global MapState whose slot axis is sharded over the mesh. Scalar
+    fields (frame, counters) are replicated."""
+    n = mesh.devices.size
+    m = tsdf_ops.make_map(cfg)
+    shard = NamedSharding(mesh, P(MAP_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        if x.ndim >= 1 and x.shape[0] == cfg.table_slots:
+            return jax.device_put(x, shard)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, m)
+
+
+def _fuse_local(m, depth, gray, T_wc, *, local_cfg: TsdfConfig,
+                intr: Intrinsics, n_devices: int,
+                decay_params=None, slide_params=None):
+    """Per-device fusion body (runs under shard_map)."""
+    dev = jax.lax.axis_index(MAP_AXIS)
+    old_overflow = m.overflow
+    old_decayed = m.decayed_blocks
+    coords, cmask = tsdf_ops.touched_blocks_from_depth(depth, T_wc, intr, local_cfg)
+    cmask = cmask & (owner_of(coords, n_devices) == dev)
+    from ..ops import hash as vhash
+    uniq, umask, total = vhash.unique_coords(coords, cmask, local_cfg.max_visible_blocks)
+    table, slots, fresh = vhash.insert(m.table, uniq, umask, local_cfg.probe_len)
+    live = umask & (slots >= 0)
+    widx = jnp.where(fresh, slots, m.num_slots)
+    alloc_frame = m.alloc_frame.at[widx].set(m.frame, mode="drop")
+    seen_idx = jnp.where(live, slots, m.num_slots)
+    last_seen = m.last_seen.at[seen_idx].set(m.frame, mode="drop")
+    dropped = jnp.maximum(total - jnp.int32(local_cfg.max_visible_blocks), 0)
+    failed = jnp.sum((umask & (slots < 0)).astype(jnp.int32))
+    m = m._replace(table=table, alloc_frame=alloc_frame, last_seen=last_seen,
+                   overflow=m.overflow + dropped + failed)
+    rgb = jnp.stack([gray] * 3, axis=-1)
+    m = tsdf_ops.integrate(m, jnp.where(live, slots, -1), live, depth, rgb,
+                           T_wc, intr, local_cfg)
+    if slide_params is not None and slide_params.enabled:
+        m = tsdf_ops.slide_window(m, slide_params.max_age)
+    if decay_params is not None and decay_params.enabled:
+        m = tsdf_ops.decay(m, decay_params.max_decay_weight,
+                           decay_params.min_decay_age)
+    # Counters accumulate per-device deltas; psum them so the scalars stay
+    # replicated (their out_spec is P()).
+    m = m._replace(
+        overflow=old_overflow + jax.lax.psum(m.overflow - old_overflow, MAP_AXIS),
+        decayed_blocks=old_decayed
+        + jax.lax.psum(m.decayed_blocks - old_decayed, MAP_AXIS),
+    )
+    return tsdf_ops.advance_frame(m)
+
+
+def _raycast_local(m, T_wc, *, local_cfg: TsdfConfig, intr: Intrinsics):
+    """Per-device raycast + cross-shard min-depth combine (under shard_map)."""
+    rc = rc_ops.raycast(m, T_wc, intr, local_cfg)
+    big = jnp.float32(1e9)
+    d = jnp.where(rc.mask, rc.depth, big)
+    d_min = jax.lax.pmin(d, MAP_AXIS)
+    hit = d_min < big * 0.5
+    depth = jnp.where(hit, d_min, 0.0)
+    # winner's color: keep color where this shard won, then pmax-combine
+    # (exactly one shard wins each pixel; others contribute zeros)
+    mine = hit & (jnp.abs(d - d_min) < 1e-6)
+    color = jnp.where(mine[..., None], rc.color, 0.0)
+    color = jax.lax.pmax(color, MAP_AXIS)
+    # geometry from the combined depth (replicated math on every device)
+    from ..utils.camera import backproject
+    pts_c = backproject(depth, intr)
+    R = T_wc[:3, :3]
+    t = T_wc[:3, 3]
+    pts_w = pts_c @ R.T + t
+    pts_w = jnp.where(hit[..., None], pts_w, 0.0)
+    normals = rc_ops._normals_from_points(pts_w, hit)
+    return rc_ops.Raycast(depth=depth, points=pts_w, normals=normals,
+                          mask=hit, color=color)
+
+
+class ShardedTsdf:
+    """Sharded-map facade mirroring the single-chip MapState ops."""
+
+    def __init__(self, cfg: SystemConfig, mesh: Mesh):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.n = mesh.devices.size
+        self.local_cfg = local_tsdf_config(cfg.tsdf, self.n)
+        intr = cfg.rig.intr
+
+        mspec = jax.tree.map(
+            lambda _: P(MAP_AXIS), tsdf_ops.make_map(self.local_cfg)
+        )
+        # scalar / replicated fields
+        mspec = mspec._replace(
+            frame=P(), decayed_blocks=P(), overflow=P()
+        )
+        self._map_spec = mspec
+
+        fuse = functools.partial(
+            _fuse_local, local_cfg=self.local_cfg, intr=intr, n_devices=self.n,
+            decay_params=cfg.decay, slide_params=cfg.slide_window,
+        )
+        self.fuse = jax.jit(
+            jax.shard_map(
+                fuse, mesh=mesh,
+                in_specs=(mspec, P(), P(), P()),
+                out_specs=mspec,
+            )
+        )
+        rc = functools.partial(_raycast_local, local_cfg=self.local_cfg, intr=intr)
+        self.raycast = jax.jit(
+            jax.shard_map(
+                rc, mesh=mesh,
+                in_specs=(mspec, P()),
+                out_specs=jax.tree.map(lambda _: P(), rc_ops.Raycast(0, 0, 0, 0, 0)),
+                check_vma=False,
+            )
+        )
+
+    def make_map(self) -> tsdf_ops.MapState:
+        return make_sharded_map(
+            dataclasses.replace(self.cfg.tsdf), self.mesh
+        )
+
+    def num_blocks(self, m) -> int:
+        return int(jnp.sum(m.table.valid.astype(jnp.int32)))
+
+    def memory_bytes(self, m, voxel_bytes: int = 16) -> int:
+        return self.num_blocks(m) * voxel_bytes * tsdf_ops.BLOCK_VOL

@@ -1,0 +1,131 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denseslam_tpu.config import tiny_test_config
+from denseslam_tpu.io import synthetic
+from denseslam_tpu.ops import tsdf as tsdf_ops
+from denseslam_tpu.parallel import mesh as mesh_lib
+from denseslam_tpu.parallel import sharded_map as sm
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    mesh = mesh_lib.make_map_mesh(8)
+    st = sm.ShardedTsdf(cfg, mesh)
+    return cfg, mesh, st
+
+
+def test_owner_balanced():
+    coords = jnp.asarray(
+        np.random.default_rng(0).integers(-100, 100, size=(4096, 3)), jnp.int32
+    )
+    owners = np.asarray(sm.owner_of(coords, 8))
+    counts = np.bincount(owners, minlength=8)
+    assert counts.min() > 0
+    # supertile granularity: tolerate coarse balance
+    assert counts.max() < counts.mean() * 2.5
+
+
+def test_sharded_fusion_and_raycast(setup):
+    cfg, mesh, st = setup
+    m = st.make_map()
+    poses = synthetic.make_trajectory(4, step_m=0.06, yaw_rate=0.0)
+    for i in range(4):
+        T = jnp.asarray(poses[i])
+        gray, depth = synthetic.render_view(T, cfg.rig.intr)
+        m = st.fuse(m, depth, gray, T)
+    nblocks = st.num_blocks(m)
+    assert nblocks > 100
+
+    # every shard owns some blocks
+    valid = np.asarray(m.table.valid).reshape(8, -1)
+    assert (valid.sum(axis=1) > 0).all()
+
+    T = jnp.asarray(poses[2])
+    rc = st.raycast(m, T)
+    _, gt = synthetic.render_view(T, cfg.rig.intr)
+    d = np.asarray(rc.depth)
+    g = np.asarray(gt)
+    eligible = (g > 0) & (g < 7)
+    both = (d > 0) & eligible
+    # ownership-boundary crossings cost some rays; require high coverage
+    assert both.sum() / eligible.sum() > 0.8, both.sum() / eligible.sum()
+    err = np.abs(d[both] - g[both])
+    assert np.median(err) < 0.06, np.median(err)
+
+
+def test_sharded_matches_single_device(setup):
+    """The sharded map must agree with the single-chip map wherever both
+    hit (same math, partitioned ownership)."""
+    cfg, mesh, st = setup
+    m_sh = st.make_map()
+    m_single = tsdf_ops.make_map(cfg.tsdf)
+    poses = synthetic.make_trajectory(3, step_m=0.05, yaw_rate=0.0)
+
+    @jax.jit
+    def fuse_single(m, depth, gray, T):
+        m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T, cfg.rig.intr, cfg.tsdf)
+        rgb = jnp.stack([gray] * 3, axis=-1)
+        m = tsdf_ops.integrate(m, slots, mask, depth, rgb, T, cfg.rig.intr, cfg.tsdf)
+        return tsdf_ops.advance_frame(m)
+
+    for i in range(3):
+        T = jnp.asarray(poses[i])
+        gray, depth = synthetic.render_view(T, cfg.rig.intr)
+        m_sh = st.fuse(m_sh, depth, gray, T)
+        m_single = fuse_single(m_single, depth, gray, T)
+
+    from denseslam_tpu.ops import raycast as rc_ops
+    T = jnp.asarray(poses[1])
+    rc_sh = st.raycast(m_sh, T)
+    rc_si = rc_ops.raycast(m_single, T, cfg.rig.intr, cfg.tsdf)
+    d_sh = np.asarray(rc_sh.depth)
+    d_si = np.asarray(rc_si.depth)
+    # identical math where both hit cleanly: the bulk must agree bitwise-ish
+    both = (d_sh > 0) & (d_si > 0)
+    diff = np.abs(d_sh[both] - d_si[both])
+    assert np.median(diff) < 1e-4, np.median(diff)
+    # GT-error statistics must match (disagreements live on occlusion
+    # edges where both are inaccurate; ownership boundaries cost coverage)
+    _, gt = synthetic.render_view(T, cfg.rig.intr)
+    gt = np.asarray(gt)
+    el = (gt > 0) & (gt < 7)
+    err_sh = np.abs(d_sh - gt)[(d_sh > 0) & el]
+    err_si = np.abs(d_si - gt)[(d_si > 0) & el]
+    assert abs(np.median(err_sh) - np.median(err_si)) < 0.02
+    cov_sh = ((d_sh > 0) & el).sum() / el.sum()
+    cov_si = ((d_si > 0) & el).sum() / el.sum()
+    assert cov_sh > cov_si - 0.15, (cov_sh, cov_si)
+    # block totals in the same ballpark (sharded table dedupes per shard)
+    n_sh = st.num_blocks(m_sh)
+    n_si = int(tsdf_ops.num_allocated_blocks(m_single))
+    assert abs(n_sh - n_si) / n_si < 0.1, (n_sh, n_si)
+
+
+def test_sharded_decay(setup):
+    cfg, mesh, st = setup
+    cfg2 = dataclasses.replace(
+        cfg, decay=dataclasses.replace(cfg.decay, enabled=True, min_decay_age=1,
+                                       max_decay_weight=1)
+    )
+    st2 = sm.ShardedTsdf(cfg2, mesh)
+    m = st2.make_map()
+    poses = synthetic.make_trajectory(4, step_m=0.4, yaw_rate=0.0)
+    for i in range(4):
+        T = jnp.asarray(poses[i])
+        gray, depth = synthetic.render_view(T, cfg.rig.intr)
+        m = st2.fuse(m, depth, gray, T)
+    # single-observation blocks from early frames should have decayed
+    n_decay = st2.num_blocks(m)
+    st3 = sm.ShardedTsdf(cfg, mesh)
+    m2 = st3.make_map()
+    for i in range(4):
+        T = jnp.asarray(poses[i])
+        gray, depth = synthetic.render_view(T, cfg.rig.intr)
+        m2 = st3.fuse(m2, depth, gray, T)
+    assert n_decay < st3.num_blocks(m2)
