@@ -1,0 +1,61 @@
+"""System checkpoint/resume.
+
+The reference has NO state checkpointing (SURVEY.md section 5 — the closest
+thing is the GPU->host swapping engine); this is a new capability: the whole
+SLAM state (map pytree, fusion DB, frontend state, pose history) serialises
+to one .npz and restores bit-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten_with_paths(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
+    flat = {}
+    leaves, treedef = jax.tree.flatten(tree)
+    for i, leaf in enumerate(leaves):
+        flat[f"{prefix}/{i}"] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_like(template: Any, data: Dict[str, np.ndarray],
+                    prefix: str) -> Any:
+    leaves, treedef = jax.tree.flatten(template)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        arr = data[f"{prefix}/{i}"]
+        new_leaves.append(jnp.asarray(arr) if isinstance(leaf, jax.Array) else arr)
+    return jax.tree.unflatten(treedef, new_leaves)
+
+
+def save_slam_checkpoint(path: str, slam) -> None:
+    """Serialise a DenseSLAM instance's dynamic state."""
+    flat: Dict[str, np.ndarray] = {}
+    flat.update(_flatten_with_paths(slam.submaps.active, "map"))
+    flat.update(_flatten_with_paths(slam.db, "db"))
+    flat.update(_flatten_with_paths(slam.fe_state, "fe"))
+    flat["meta/frame"] = np.asarray(slam.frame)
+    flat["meta/keyframes"] = np.asarray(slam.current_keyframes)
+    if slam.pose_history:
+        flat["meta/pose_frames"] = np.asarray([p[0] for p in slam.pose_history])
+        flat["meta/pose_mats"] = np.stack([p[1] for p in slam.pose_history])
+    np.savez_compressed(path, **flat)
+
+
+def load_slam_checkpoint(path: str, slam) -> None:
+    """Restore into a freshly-constructed DenseSLAM with the same config."""
+    data = dict(np.load(path, allow_pickle=False))
+    slam.submaps.active = _unflatten_like(slam.submaps.active, data, "map")
+    slam.db = _unflatten_like(slam.db, data, "db")
+    slam.fe_state = _unflatten_like(slam.fe_state, data, "fe")
+    slam.frame = int(data["meta/frame"])
+    slam.current_keyframes = int(data["meta/keyframes"])
+    slam.pose_history = []
+    if "meta/pose_frames" in data:
+        for f, T in zip(data["meta/pose_frames"], data["meta/pose_mats"]):
+            slam.pose_history.append((int(f), T))

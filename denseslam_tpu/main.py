@@ -1,0 +1,216 @@
+"""CLI entry point — the `SystemEntry.cpp` equivalent.
+
+Flags mirror the reference's gflags + param.yaml surface
+(reference: src/DenseSLAM/SystemEntry.cpp:12-33, 136-199): dataset
+selection, frame offset/limit, voxel decay, sliding window, online
+correction, depth weighting, raycast dumps, trajectory saving, low-res
+input. Runs the headless loop (SystemEntry.cpp:342-372); there is no GUI —
+previews are dumped as images instead.
+
+Usage:
+  python -m denseslam_tpu.main --dataset_root /data/kitti/odometry/07 \
+      --dataset_type kitti_odometry --sensor stereo --frame_limit 100 \
+      --voxel_decay --slide_window --save_trajectory out/traj.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--dataset_type", default="kitti_odometry",
+                   choices=["kitti_odometry", "kitti_tracking", "kitti_raw",
+                            "tum", "icl_nuim"])
+    p.add_argument("--sensor", default="stereo",
+                   choices=["monocular", "stereo", "rgbd"])
+    p.add_argument("--frame_offset", type=int, default=0)
+    p.add_argument("--frame_limit", type=int, default=None)
+    p.add_argument("--input_scale", type=float, default=1.0)
+    p.add_argument("--use_color", action="store_true")
+    # depth source
+    p.add_argument("--compute_depth", action="store_true",
+                   help="compute depth with the on-device SGM stereo instead "
+                        "of reading precomputed depth/disparity")
+    # map params
+    p.add_argument("--voxel_size", type=float, default=0.06)
+    p.add_argument("--max_depth", type=float, default=50.0)
+    p.add_argument("--table_slots_log2", type=int, default=17)
+    p.add_argument("--max_visible_log2", type=int, default=14)
+    # regularisation (reference param.yaml voxel_decay / slide_window blocks)
+    p.add_argument("--voxel_decay", action="store_true")
+    p.add_argument("--min_decay_age", type=int, default=30)
+    p.add_argument("--max_decay_weight", type=float, default=2)
+    p.add_argument("--slide_window", action="store_true")
+    p.add_argument("--slide_window_max_age", type=int, default=60)
+    # online correction
+    p.add_argument("--online_correction", action="store_true")
+    p.add_argument("--correction_num", type=int, default=5)
+    p.add_argument("--start_correction_num", type=int, default=10)
+    # depth weighting (WeightParams)
+    p.add_argument("--depth_weighting", action="store_true")
+    p.add_argument("--max_new_w", type=int, default=5)
+    p.add_argument("--weight_max_distance", type=float, default=30.0)
+    # post processing
+    p.add_argument("--depth_postprocess", action="store_true")
+    # backend
+    p.add_argument("--enable_backend", action="store_true",
+                   help="run local BA + loop closing (SLAMSystem)")
+    p.add_argument("--keyframe_every", type=int, default=1,
+                   help="fuse every k-th frame (lowfreq_exp)")
+    # outputs
+    p.add_argument("--save_trajectory", default=None)
+    p.add_argument("--save_kitti_trajectory", default=None)
+    p.add_argument("--save_mesh", default=None)
+    p.add_argument("--save_raycast_depth_dir", default=None)
+    p.add_argument("--save_raycast_rgb_dir", default=None)
+    p.add_argument("--save_memory_log", default=None,
+                   help="per-frame map memory log (memory.txt equivalent)")
+    p.add_argument("--checkpoint_out", default=None)
+    p.add_argument("--checkpoint_in", default=None)
+    p.add_argument("--metrics_json", default=None)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def build_config(args, rig):
+    from .config import (OnlineCorrectionParams, PipelineConfig,
+                         PostProcessParams, SlideWindowParams, SystemConfig,
+                         TsdfConfig, VoxelDecayParams, WeightParams)
+
+    tsdf = TsdfConfig(
+        voxel_size_m=args.voxel_size,
+        trunc_dist_m=args.voxel_size * 4,
+        table_slots=1 << args.table_slots_log2,
+        max_visible_blocks=1 << args.max_visible_log2,
+        max_alloc_per_frame=1 << args.max_visible_log2,
+        max_depth_m=args.max_depth,
+        weights=WeightParams(
+            depth_weighting=args.depth_weighting,
+            max_new_w=args.max_new_w,
+            max_distance=args.weight_max_distance,
+        ),
+    )
+    return SystemConfig(
+        rig=rig,
+        tsdf=tsdf,
+        decay=VoxelDecayParams(args.voxel_decay, args.min_decay_age,
+                               args.max_decay_weight),
+        slide_window=SlideWindowParams(args.slide_window,
+                                       args.slide_window_max_age),
+        correction=OnlineCorrectionParams(
+            args.online_correction, args.correction_num,
+            args.start_correction_num),
+        postprocess=PostProcessParams(enabled=args.depth_postprocess),
+        pipeline=PipelineConfig(keyframe_every=args.keyframe_every),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .io import datasets
+    from .io.checkpoint import load_slam_checkpoint, save_slam_checkpoint
+    from .io.trajectory import save_kitti, save_tum
+    from .models.dense_slam import DenseSLAM
+    from .models.system import SLAMSystem
+    from .utils.timing import TIMERS
+
+    ds_cfg = datasets.CONFIGS[datasets.DatasetType[args.dataset_type.upper()]]()
+    inp = datasets.Input(
+        args.dataset_root, ds_cfg,
+        frame_offset=args.frame_offset, frame_limit=args.frame_limit,
+        input_scale=args.input_scale, use_color=args.use_color,
+    )
+    cfg = build_config(args, inp.rig)
+
+    if args.enable_backend:
+        system = SLAMSystem(cfg)
+        slam = system.slam
+    else:
+        system = None
+        slam = DenseSLAM(cfg)
+    if args.checkpoint_in:
+        load_slam_checkpoint(args.checkpoint_in, slam)
+
+    for d in [args.save_raycast_depth_dir, args.save_raycast_rgb_dir]:
+        if d:
+            os.makedirs(d, exist_ok=True)
+
+    mem_log = open(args.save_memory_log, "w") if args.save_memory_log else None
+    t_start = time.time()
+    n = 0
+    for frame in inp:
+        left = jnp.asarray(frame["left"])
+        right = jnp.asarray(frame["right"]) if frame["right"] is not None else None
+        depth = (None if args.compute_depth
+                 else jnp.asarray(frame["depth"]))
+        target = system if system is not None else slam
+        out = target.process_frame(left, right, depth=depth,
+                                   timestamp=frame["timestamp"])
+        n += 1
+        if out["fused"]:
+            fid = out["frame"]
+            if args.save_raycast_depth_dir:
+                slam.save_raycast_depth(
+                    os.path.join(args.save_raycast_depth_dir, f"{fid:06d}.png"))
+            if args.save_raycast_rgb_dir:
+                slam.save_raycast_rgb(
+                    os.path.join(args.save_raycast_rgb_dir, f"{fid:06d}.png"))
+        if mem_log:
+            # memory.txt convention: one line per frame, units of 100 MB
+            # (reference: DenseSLAMGUI.cpp:589-595, memoryDraw.py:40-41)
+            mem_log.write(f"{out['memory_bytes'] / 100e6:.6f}\n")
+        if not args.quiet and n % 10 == 0:
+            fps = n / (time.time() - t_start)
+            print(f"frame {n}: {fps:.2f} FPS, blocks={out['num_blocks']}, "
+                  f"mem={out['memory_bytes']/1e6:.1f}MB, "
+                  f"tracking={'OK' if out['tracking_ok'] else 'LOST'}")
+
+    # sequence end: decay catch-up (reference: DecayCatchup at shutdown)
+    slam.decay_catchup()
+
+    if mem_log:
+        mem_log.close()
+    if args.save_trajectory:
+        save_tum(args.save_trajectory,
+                 [(float(f), T) for f, T in slam.trajectory()])
+    if args.save_kitti_trajectory:
+        save_kitti(args.save_kitti_trajectory,
+                   [T for _, T in slam.trajectory()])
+    if args.save_mesh:
+        ntris = slam.save_mesh(args.save_mesh)
+        if not args.quiet:
+            print(f"mesh: {ntris} triangles -> {args.save_mesh}")
+    if args.checkpoint_out:
+        save_slam_checkpoint(args.checkpoint_out, slam)
+
+    wall = time.time() - t_start
+    summary = dict(
+        frames=n,
+        fps=n / wall if wall > 0 else 0.0,
+        mean_fusion_ms=slam.mean_fusion_ms(),
+        final_blocks=slam.submaps.local_map_size(slam.submaps.active_idx),
+        final_memory_mb=slam.memory_bytes() / 1e6,
+    )
+    if not args.quiet:
+        print(json.dumps(summary))
+        print(TIMERS.report())
+    if args.metrics_json:
+        with open(args.metrics_json, "w") as f:
+            json.dump(summary, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

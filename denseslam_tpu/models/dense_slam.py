@@ -131,9 +131,9 @@ def fuse_keyframe(
     tc = cfg.tsdf
     if cfg.pipeline.bilateral_filter:
         depth = bilateral_filter_depth(depth)
-    rgb = jnp.stack([gray] * 3, axis=-1)
+    color = tsdf_ops.pack_gray(gray)
     m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T_wc, intr, tc)
-    m = tsdf_ops.integrate(m, slots, mask, depth, rgb, T_wc, intr, tc)
+    m = tsdf_ops.integrate(m, slots, mask, depth, color, T_wc, intr, tc)
     db = db_push(db, depth, gray, T_wc, frame_id)
     if cfg.slide_window.enabled:
         m = tsdf_ops.slide_window(m, cfg.slide_window.max_age)
@@ -179,16 +179,15 @@ def online_correction(
         def apply(ops):
             m, db = ops
             depth = db.depth[slot]
-            gray = db.gray[slot]
-            rgb = jnp.stack([gray] * 3, axis=-1)
+            color = tsdf_ops.pack_gray(db.gray[slot])
             T_old = db.T_fused[slot]
             T_new = opt_T[slot]
             # DEINTEGRATE at the fused pose (DenseSlam.cpp:390-393)
             m2, s_old, k_old = tsdf_ops.allocate_for_frame(m, depth, T_old, intr, tc)
-            m2 = tsdf_ops.deintegrate(m2, s_old, k_old, depth, rgb, T_old, intr, tc)
+            m2 = tsdf_ops.deintegrate(m2, s_old, k_old, depth, color, T_old, intr, tc)
             # REINTEGRATE at the optimised pose (DenseSlam.cpp:396-403)
             m2, s_new, k_new = tsdf_ops.allocate_for_frame(m2, depth, T_new, intr, tc)
-            m2 = tsdf_ops.integrate(m2, s_new, k_new, depth, rgb, T_new, intr, tc)
+            m2 = tsdf_ops.integrate(m2, s_new, k_new, depth, color, T_new, intr, tc)
             db2 = db._replace(T_fused=db.T_fused.at[slot].set(T_new))
             return m2, db2
 
@@ -222,11 +221,10 @@ def purge_culled(
         def apply(ops):
             m, db = ops
             depth = db.depth[slot]
-            gray = db.gray[slot]
-            rgb = jnp.stack([gray] * 3, axis=-1)
+            color = tsdf_ops.pack_gray(db.gray[slot])
             T_old = db.T_fused[slot]
             m2, s, k = tsdf_ops.allocate_for_frame(m, depth, T_old, intr, tc)
-            m2 = tsdf_ops.deintegrate(m2, s, k, depth, rgb, T_old, intr, tc)
+            m2 = tsdf_ops.deintegrate(m2, s, k, depth, color, T_old, intr, tc)
             db2 = db._replace(
                 valid=db.valid.at[slot].set(False),
                 frame_id=db.frame_id.at[slot].set(-1),
@@ -276,6 +274,24 @@ class SubmapManager:
 
     def set_estimated_global_pose(self, idx: int, T: np.ndarray) -> None:
         self.global_poses[idx] = np.asarray(T)
+
+    # -- host spill: the ITMSwappingEngine::SaveToGlobalMemory equivalent
+    # (reference: DenseSlam.h:248-251 — evict whole submap volumes to host
+    # memory); device HBM is freed, state restorable on demand.
+
+    def evict_to_host(self, idx: int) -> None:
+        import jax
+        m = self.maps[idx]
+        if isinstance(m, tsdf_ops.MapState):
+            self.maps[idx] = jax.tree.map(lambda x: np.asarray(x), m)
+
+    def restore_to_device(self, idx: int) -> None:
+        import jax
+        m = self.maps[idx]
+        self.maps[idx] = jax.tree.map(jnp.asarray, m)
+
+    def is_on_host(self, idx: int) -> bool:
+        return isinstance(self.maps[idx].tsdf, np.ndarray)
 
     def local_map_size(self, idx: int) -> int:
         return int(tsdf_ops.num_allocated_blocks(self.maps[idx]))
@@ -482,6 +498,34 @@ class DenseSLAM:
 
     def memory_bytes(self) -> int:
         return int(tsdf_ops.used_memory_bytes(self.submaps.active))
+
+    def save_mesh(self, path: str) -> int:
+        """Marching-tetrahedra OBJ export of the active submap
+        (SaveStaticMap / SaveCurrSceneToMesh equivalent,
+        reference: DenseSlam.cpp:638-643). Returns triangle count."""
+        from ..ops import meshing
+        tris = meshing.extract_mesh(self.submaps.active, self.cfg.tsdf)
+        meshing.save_obj(path, tris)
+        return int(tris.shape[0])
+
+    def save_raycast_depth(self, path: str,
+                           T_wc: Optional[jax.Array] = None) -> None:
+        """16-bit PNG raycast depth dump, depth*256 convention
+        (reference: DenseSlam.cpp:573-603, InfiniTamDriver.cpp:187-199)."""
+        import cv2
+        rc = self.raycast_view(T_wc)
+        png = np.asarray(rc_ops.depth_to_png16(rc.depth))
+        cv2.imwrite(path, png)
+
+    def save_raycast_rgb(self, path: str,
+                         T_wc: Optional[jax.Array] = None) -> None:
+        """Raycast color/shaded dump (reference: DenseSlam.cpp:605-636)."""
+        import cv2
+        rc = self.raycast_view(T_wc)
+        img = np.asarray(rc_ops.render_preview(rc, rc_ops.PREVIEW_COLOR))
+        if img.max() == 0:  # no color fused: fall back to shaded preview
+            img = np.asarray(rc_ops.render_preview(rc, rc_ops.PREVIEW_GRAY))
+        cv2.imwrite(path, img)
 
     @property
     def current_pose(self) -> np.ndarray:

@@ -5,8 +5,12 @@ pool.
 
 Layout: a block is 8x8x8 voxels stored flat as 512 = 4x128 lanes — exactly
 one float32 (8,128)-tile pair per block, so every per-voxel op vectorises
-onto the VPU with zero padding waste. Data arrays are indexed by hash-table
-slot; the slot axis is the sharding axis for multi-chip maps.
+onto the VPU with zero padding waste. Block identity is a PACKED int32 key
+(ops/hash.py) and ALL hot-path math is structure-of-arrays: separate
+x/y/z/u/v planes, never (N, 3) intermediates (see the layout rule in
+ops/hash.py — minor-dim-3 tensors pad 42x on TPU and wreck compile and run
+time). Color is packed RGB in one int32 per voxel (as ITM's u8 voxel colors
+are packed, reference ITMVoxel surface).
 
 Semantics mirrored from the reference driver surface:
   * IntegrateLocalMap / DeIntegrateLocalMap with optional depth weighting
@@ -24,41 +28,65 @@ Semantics mirrored from the reference driver surface:
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import TsdfConfig
 from ..utils import lie
-from ..utils.camera import Intrinsics, project
-from ..utils.image import depth_bilinear_sample
+from ..utils.camera import Intrinsics
 from . import hash as vhash
 
 BLOCK = 8
 BLOCK_VOL = BLOCK * BLOCK * BLOCK  # 512
 
 
-def _voxel_offsets() -> jax.Array:
-    """(512, 3) int32 offsets of voxels within a block, x fastest."""
+def _voxel_off_xyz():
+    """Three (512,) int32 arrays: voxel offsets within a block, x fastest."""
     idx = jnp.arange(BLOCK_VOL, dtype=jnp.int32)
-    x = idx % BLOCK
-    y = (idx // BLOCK) % BLOCK
-    z = idx // (BLOCK * BLOCK)
+    return idx % BLOCK, (idx // BLOCK) % BLOCK, idx // (BLOCK * BLOCK)
+
+
+def _voxel_offsets() -> jax.Array:
+    """(512, 3) offsets — cold paths (meshing) only."""
+    x, y, z = _voxel_off_xyz()
     return jnp.stack([x, y, z], axis=-1)
+
+
+# -- packed RGB helpers ------------------------------------------------------
+
+def pack_rgb(r: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
+    """Float [0,255] channels -> packed int32 (r | g<<8 | b<<16)."""
+    ri = jnp.clip(r, 0, 255).astype(jnp.int32)
+    gi = jnp.clip(g, 0, 255).astype(jnp.int32)
+    bi = jnp.clip(b, 0, 255).astype(jnp.int32)
+    return ri | (gi << 8) | (bi << 16)
+
+
+def unpack_rgb(p: jax.Array):
+    return (
+        (p & 0xFF).astype(jnp.float32),
+        ((p >> 8) & 0xFF).astype(jnp.float32),
+        ((p >> 16) & 0xFF).astype(jnp.float32),
+    )
+
+
+def pack_gray(gray: jax.Array) -> jax.Array:
+    return pack_rgb(gray, gray, gray)
 
 
 class MapState(NamedTuple):
     """One submap's TSDF volume. A pytree of fixed-shape arrays."""
-    table: vhash.HashTable          # (S, 3) coords + (S,) valid
+    table: vhash.HashTable          # packed-key table (S,)
     tsdf: jax.Array                 # f32 (S, 512), init +1 (free space)
     weight: jax.Array               # f32 (S, 512)
-    color: jax.Array                # f32 (S, 512, 3)
+    color: jax.Array                # i32 (S, 512) packed RGB
     alloc_frame: jax.Array          # i32 (S,) frame at which slot was allocated
     last_seen: jax.Array            # i32 (S,) last frame the block was visible
     frame: jax.Array                # i32 () current frame counter
     decayed_blocks: jax.Array       # i32 () total blocks reclaimed by decay
-    overflow: jax.Array             # i32 () dropped allocations (table full / cap hit)
+    overflow: jax.Array             # i32 () dropped allocations
 
     @property
     def num_slots(self) -> int:
@@ -71,7 +99,7 @@ def make_map(cfg: TsdfConfig) -> MapState:
         table=vhash.make_table(s),
         tsdf=jnp.ones((s, BLOCK_VOL), dtype=jnp.float32),
         weight=jnp.zeros((s, BLOCK_VOL), dtype=jnp.float32),
-        color=jnp.zeros((s, BLOCK_VOL, 3), dtype=jnp.float32),
+        color=jnp.zeros((s, BLOCK_VOL), dtype=jnp.int32),
         alloc_frame=jnp.zeros((s,), dtype=jnp.int32),
         last_seen=jnp.zeros((s,), dtype=jnp.int32),
         frame=jnp.zeros((), dtype=jnp.int32),
@@ -85,10 +113,7 @@ def num_allocated_blocks(m: MapState) -> jax.Array:
 
 
 def used_memory_bytes(m: MapState, voxel_bytes: int = 16) -> jax.Array:
-    """ITMVoxel-equivalent accounting: bytes = voxel_bytes * 512 * blocks
-    (reference: src/DenseSLAM/InfiniTamDriver.h:333-352; their voxel packs
-    sdf+weight+rgb; ours is f32 sdf + f32 w + 3xf32 rgb = 20B, but we report
-    with a configurable voxel size for apples-to-apples curves)."""
+    """ITMVoxel-equivalent accounting (InfiniTamDriver.h:333-352)."""
     return num_allocated_blocks(m) * (voxel_bytes * BLOCK_VOL)
 
 
@@ -96,45 +121,42 @@ def used_memory_bytes(m: MapState, voxel_bytes: int = 16) -> jax.Array:
 # Allocation
 # ---------------------------------------------------------------------------
 
-def touched_blocks_from_depth(
+def touched_block_keys(
     depth: jax.Array,          # (H, W) meters, 0 = invalid
-    T_wc: jax.Array,           # camera-to-world
+    T_wc: jax.Array,
     intr: Intrinsics,
     cfg: TsdfConfig,
-) -> Tuple[jax.Array, jax.Array]:
-    """Block coords touched by the truncation band around each depth sample.
-
-    Returns ((N, 3) int32 coords, (N,) bool mask) with N = H*W*K where K
-    samples span [d - mu, d + mu] along each ray — the data-parallel
-    replacement for ITM's per-pixel ray segment allocation.
-    """
+) -> jax.Array:
+    """Packed keys of blocks in the truncation band of each depth sample —
+    (k*H*W,) int32, EMPTY_KEY where invalid. Fully SoA."""
     h, w = depth.shape
     mu = cfg.trunc_dist_m
+    block_m = cfg.block_size_m
+    inv_block = 1.0 / block_m
     v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     dirx = (u - intr.cx) / intr.fx
     diry = (v - intr.cy) / intr.fy
     valid = (depth > cfg.min_depth_m) & (depth < cfg.max_depth_m)
 
-    # K sample depths across the truncation band; step <= block size so no
-    # block on the segment is skipped.
-    block_m = cfg.block_size_m
     k = max(3, math.ceil(2.0 * mu / block_m) + 2)
-    fracs = jnp.linspace(-mu, mu, k)
-
     R = T_wc[:3, :3]
     t = T_wc[:3, 3]
 
-    coords_list = []
+    keys = []
     for i in range(k):
-        d = depth + fracs[i]
-        pc = jnp.stack([dirx * d, diry * d, d], axis=-1)      # (H, W, 3)
-        pw = pc @ R.T + t
-        bc = jnp.floor(pw / block_m).astype(jnp.int32)
-        coords_list.append(bc.reshape(-1, 3))
-    coords = jnp.concatenate(coords_list, axis=0)
-    mask = jnp.tile(valid.reshape(-1), k)
-    return coords, mask
+        d = depth + (-mu + 2.0 * mu * i / (k - 1))
+        pcx = dirx * d
+        pcy = diry * d
+        pcz = d
+        wx = R[0, 0] * pcx + R[0, 1] * pcy + R[0, 2] * pcz + t[0]
+        wy = R[1, 0] * pcx + R[1, 1] * pcy + R[1, 2] * pcz + t[1]
+        wz = R[2, 0] * pcx + R[2, 1] * pcy + R[2, 2] * pcz + t[2]
+        bx = jnp.floor(wx * inv_block).astype(jnp.int32)
+        by = jnp.floor(wy * inv_block).astype(jnp.int32)
+        bz = jnp.floor(wz * inv_block).astype(jnp.int32)
+        keys.append(vhash.pack_xyz(bx, by, bz, valid).reshape(-1))
+    return jnp.concatenate(keys, axis=0)
 
 
 def allocate_for_frame(
@@ -145,12 +167,11 @@ def allocate_for_frame(
     cfg: TsdfConfig,
 ) -> Tuple[MapState, jax.Array, jax.Array]:
     """Allocate blocks touched by this frame; returns (map, visible_slots
-    (max_visible_blocks,), visible_mask). The visible set (= touched set) is
-    the static-cap analogue of ITM's visible-entry list
-    (`ITMRenderState_VH::noVisibleEntries`)."""
-    coords, cmask = touched_blocks_from_depth(depth, T_wc, intr, cfg)
-    uniq, umask, total = vhash.unique_coords(coords, cmask, cfg.max_visible_blocks)
-    table, slots, fresh = vhash.insert(m.table, uniq, umask, cfg.probe_len)
+    (max_visible_blocks,), visible_mask) — the static-cap analogue of ITM's
+    visible-entry list."""
+    keys = touched_block_keys(depth, T_wc, intr, cfg)
+    uniq, umask, total = vhash.unique_keys(keys, cfg.max_visible_blocks)
+    table, slots, fresh = vhash.insert_keys(m.table, uniq, umask, cfg.probe_len)
     live = umask & (slots >= 0)
 
     widx = jnp.where(fresh, slots, m.num_slots)
@@ -173,116 +194,145 @@ def allocate_for_frame(
 # Integrate / de-integrate
 # ---------------------------------------------------------------------------
 
-def _fusion_updates(
-    m: MapState,
-    visible_slots: jax.Array,   # (V,)
-    visible_mask: jax.Array,    # (V,)
-    depth: jax.Array,           # (H, W) m
-    rgb: jax.Array | None,      # (H, W, 3) float [0,255] or None
-    T_wc: jax.Array,
-    intr: Intrinsics,
-    cfg: TsdfConfig,
-):
-    """Shared core of integrate/deintegrate: per-voxel (eta, w_new, color,
-    update-mask) for every voxel of every visible block."""
+def _bilinear_soA(img: jax.Array, u: jax.Array, v: jax.Array):
+    """Bilinear sample of (H, W) img at SoA coords; returns (val, inb)."""
+    h, w = img.shape
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    inb = (u0i >= 0) & (u0i < w - 1) & (v0i >= 0) & (v0i < h - 1)
+    u0c = jnp.clip(u0i, 0, w - 2)
+    v0c = jnp.clip(v0i, 0, h - 2)
+    flat = img.reshape(-1)
+    base = v0c * w + u0c
+    p00 = flat[base]
+    p01 = flat[base + 1]
+    p10 = flat[base + w]
+    p11 = flat[base + w + 1]
+    val = (
+        p00 * (1 - du) * (1 - dv) + p01 * du * (1 - dv)
+        + p10 * (1 - du) * dv + p11 * du * dv
+    )
+    corners_min = jnp.minimum(jnp.minimum(p00, p01), jnp.minimum(p10, p11))
+    corners_max = jnp.maximum(jnp.maximum(p00, p01), jnp.maximum(p10, p11))
+    return val, inb, p00, corners_min, corners_max
+
+
+def _depth_sample_soA(depth: jax.Array, u: jax.Array, v: jax.Array,
+                      max_gap_m: float):
+    """Edge-aware bilinear depth sample (SoA depth_bilinear_sample)."""
+    val, inb, nn, cmin, cmax = _bilinear_soA(depth, u, v)
+    all_valid = cmin > 0
+    smooth = all_valid & ((cmax - cmin) < max_gap_m)
+    out = jnp.where(smooth, val, nn)
+    ok = inb & (out > 0)
+    return jnp.where(ok, out, 0.0), ok
+
+
+def _fusion_geometry(m, visible_slots, visible_mask, T_wc, intr, cfg):
+    """Camera-frame voxel positions for the visible set, fully SoA.
+
+    Returns (u, v, z) pixel coords + camera depth, each (V, 512)."""
     vsz = cfg.voxel_size_m
-    mu = cfg.trunc_dist_m
     T_cw = lie.inv_T(T_wc)
     R = T_cw[:3, :3]
     t = T_cw[:3, 3]
-
-    safe_slots = jnp.where(visible_mask, visible_slots, 0)
-    bcoords = m.table.coords[safe_slots]                         # (V, 3)
-    offs = _voxel_offsets()                                      # (512, 3)
-    # World positions of voxel centers: (V, 512, 3)
-    wpos = (bcoords[:, None, :] * BLOCK + offs[None, :, :]).astype(jnp.float32)
-    wpos = (wpos + 0.5) * vsz
-    pcam = wpos @ R.T + t
-    uv, z = project(pcam, intr)
-    d_samp, d_valid = depth_bilinear_sample(depth, uv, max_gap_m=mu)
-
-    sdf = d_samp - z
-    in_front = z > 1e-3
-    within = sdf > -mu
-    upd = visible_mask[:, None] & d_valid & in_front & within & (d_samp > cfg.min_depth_m)
-    eta = jnp.clip(sdf / mu, -1.0, 1.0)
-
-    if cfg.weights.depth_weighting:
-        # Linear confidence falloff with distance
-        # (WeightParams maxNewW/maxDistance, reference: SystemEntry.cpp:183-187).
-        wp = cfg.weights
-        w_new = jnp.maximum(
-            1.0, wp.max_new_w * (1.0 - jnp.clip(d_samp / wp.max_distance, 0.0, 1.0))
-        )
-    else:
-        w_new = jnp.ones_like(eta)
-    w_new = jnp.where(upd, w_new, 0.0)
-
-    if rgb is not None:
-        c_samp, c_valid = depth_bilinear_sample_rgb(rgb, uv)
-        c_upd = upd & c_valid & (jnp.abs(sdf) < 0.5 * mu)
-    else:
-        c_samp = jnp.zeros(uv.shape[:-1] + (3,), dtype=jnp.float32)
-        c_upd = jnp.zeros_like(upd)
-    return eta, w_new, c_samp, c_upd, safe_slots
-
-
-def depth_bilinear_sample_rgb(rgb: jax.Array, uv: jax.Array):
-    """Bilinear RGB sample; returns (values (..., 3), mask)."""
-    from ..utils.image import bilinear_sample
-    return bilinear_sample(rgb, uv)
+    safe = jnp.where(visible_mask, visible_slots, 0)
+    bkeys = m.table.keys[safe]
+    bx, by, bz = vhash.unpack_xyz(bkeys)
+    ox, oy, oz = _voxel_off_xyz()
+    wx = ((bx[:, None] * BLOCK + ox[None, :]).astype(jnp.float32) + 0.5) * vsz
+    wy = ((by[:, None] * BLOCK + oy[None, :]).astype(jnp.float32) + 0.5) * vsz
+    wz = ((bz[:, None] * BLOCK + oz[None, :]).astype(jnp.float32) + 0.5) * vsz
+    px = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + t[0]
+    py = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + t[1]
+    pz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + t[2]
+    zc = jnp.where(jnp.abs(pz) > 1e-9, pz, 1e-9)
+    u = px / zc * intr.fx + intr.cx
+    v = py / zc * intr.fy + intr.cy
+    return u, v, pz, safe
 
 
 def integrate(
     m: MapState,
     visible_slots: jax.Array,
     visible_mask: jax.Array,
-    depth: jax.Array,
-    rgb: jax.Array | None,
+    depth: jax.Array,                       # (H, W) m
+    color_packed: Optional[jax.Array],      # (H, W) packed RGB or None
     T_wc: jax.Array,
     intr: Intrinsics,
     cfg: TsdfConfig,
     sign: float = 1.0,
 ) -> MapState:
     """TSDF fusion over the visible block set. sign=+1 integrates, -1
-    de-integrates (exact inverse when replayed with the identical view+pose,
-    the property OnlineCorrection depends on — reference: DenseSlam.cpp:
-    390-403)."""
-    eta, w_new, c_samp, c_upd, safe_slots = _fusion_updates(
-        m, visible_slots, visible_mask, depth, rgb, T_wc, intr, cfg
+    de-integrates (exact inverse when replayed with the identical view+pose
+    — the property OnlineCorrection depends on, DenseSlam.cpp:390-403)."""
+    mu = cfg.trunc_dist_m
+    u, v, z, safe_slots = _fusion_geometry(
+        m, visible_slots, visible_mask, T_wc, intr, cfg
     )
-    old_t = m.tsdf[safe_slots]          # (V, 512)
+    d_samp, d_valid = _depth_sample_soA(depth, u, v, max_gap_m=mu)
+
+    sdf = d_samp - z
+    upd = (
+        visible_mask[:, None] & d_valid & (z > 1e-3)
+        & (sdf > -mu) & (d_samp > cfg.min_depth_m)
+    )
+    eta = jnp.clip(sdf / mu, -1.0, 1.0)
+
+    if cfg.weights.depth_weighting:
+        wp = cfg.weights
+        w_new = jnp.maximum(
+            1.0, wp.max_new_w * (1.0 - jnp.clip(d_samp / wp.max_distance, 0.0, 1.0))
+        )
+    else:
+        w_new = 1.0
+    w_new = jnp.where(upd, w_new, 0.0)
+
+    old_t = m.tsdf[safe_slots]
     old_w = m.weight[safe_slots]
-    old_c = m.color[safe_slots]
 
     if sign > 0:
         new_w = jnp.minimum(old_w + w_new, cfg.max_weight)
         num = old_t * old_w + eta * w_new
         new_t = jnp.where(new_w > 0, num / jnp.maximum(new_w, 1e-6), 1.0)
-        cw = jnp.where(c_upd, w_new, 0.0)[..., None]
-        new_c = jnp.where(
-            (old_w[..., None] + cw) > 0,
-            (old_c * old_w[..., None] + c_samp * cw)
-            / jnp.maximum(old_w[..., None] + cw, 1e-6),
-            old_c,
-        )
     else:
         new_w = jnp.maximum(old_w - w_new, 0.0)
         num = old_t * old_w - eta * w_new
         new_t = jnp.where(new_w > 1e-6, num / jnp.maximum(new_w, 1e-6), 1.0)
-        new_c = old_c  # color de-fusion keeps last value (weight-led)
 
     sidx = jnp.where(visible_mask, visible_slots, m.num_slots)
-    return m._replace(
+    out = m._replace(
         tsdf=m.tsdf.at[sidx].set(new_t, mode="drop"),
         weight=m.weight.at[sidx].set(new_w, mode="drop"),
-        color=m.color.at[sidx].set(new_c, mode="drop"),
     )
 
+    if color_packed is not None and sign > 0:
+        # nearest-pixel color, weight-led running average per channel
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, intr.width - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, intr.height - 1)
+        cp = color_packed.reshape(-1)[vi * intr.width + ui]
+        cr, cg, cb = unpack_rgb(cp)
+        c_upd = upd & (jnp.abs(sdf) < 0.5 * mu)
+        cw = jnp.where(c_upd, w_new, 0.0)
+        old_c = m.color[safe_slots]
+        orr, og, ob = unpack_rgb(old_c)
+        tot = jnp.maximum(old_w + cw, 1e-6)
+        nr = (orr * old_w + cr * cw) / tot
+        ng = (og * old_w + cg * cw) / tot
+        nb = (ob * old_w + cb * cw) / tot
+        new_c = pack_rgb(nr, ng, nb)
+        out = out._replace(color=out.color.at[sidx].set(new_c, mode="drop"))
+    return out
 
-def deintegrate(m, visible_slots, visible_mask, depth, rgb, T_wc, intr, cfg):
-    return integrate(m, visible_slots, visible_mask, depth, rgb, T_wc, intr,
-                     cfg, sign=-1.0)
+
+def deintegrate(m, visible_slots, visible_mask, depth, color_packed, T_wc,
+                intr, cfg):
+    return integrate(m, visible_slots, visible_mask, depth, color_packed,
+                     T_wc, intr, cfg, sign=-1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -297,8 +347,7 @@ def decay(
 ) -> MapState:
     """Voxel GC: zero voxels with weight <= max_decay_weight in blocks older
     than min_decay_age; reclaim blocks left empty. `force_all` ignores the
-    age gate (DecayCatchup semantics, reference: InfiniTamDriver.h:315-331).
-    """
+    age gate (DecayCatchup semantics, InfiniTamDriver.h:315-331)."""
     age = m.frame - m.alloc_frame
     eligible = m.table.valid & (force_all | (age >= min_decay_age))
     kill = eligible[:, None] & (m.weight <= max_decay_weight) & (m.weight > 0)
@@ -311,7 +360,7 @@ def decay(
         table=table,
         tsdf=jnp.where(empty[:, None], 1.0, tsdf),
         weight=jnp.where(empty[:, None], 0.0, weight),
-        color=jnp.where(empty[:, None, None], 0.0, m.color),
+        color=jnp.where(empty[:, None], 0, m.color),
         decayed_blocks=m.decayed_blocks + freed,
     )
 
@@ -323,8 +372,7 @@ def decay_catchup(m: MapState, max_decay_weight: float) -> MapState:
 
 def slide_window(m: MapState, max_age: int, by_last_seen: bool = False) -> MapState:
     """Evict blocks whose age exceeds the window (reference slide-window
-    semantics keyed on allocation age; set by_last_seen for visibility age).
-    """
+    semantics keyed on allocation age; by_last_seen for visibility age)."""
     ref_frame = m.last_seen if by_last_seen else m.alloc_frame
     old = m.table.valid & ((m.frame - ref_frame) > max_age)
     table = vhash.free_mask(m.table, old)
@@ -332,7 +380,7 @@ def slide_window(m: MapState, max_age: int, by_last_seen: bool = False) -> MapSt
         table=table,
         tsdf=jnp.where(old[:, None], 1.0, m.tsdf),
         weight=jnp.where(old[:, None], 0.0, m.weight),
-        color=jnp.where(old[:, None, None], 0.0, m.color),
+        color=jnp.where(old[:, None], 0, m.color),
     )
 
 
@@ -346,64 +394,95 @@ def advance_frame(m: MapState) -> MapState:
 
 
 # ---------------------------------------------------------------------------
-# Voxel sampling (shared with raycast/ICP)
+# Voxel sampling (shared with raycast/ICP) — SoA
 # ---------------------------------------------------------------------------
 
+def sample_tsdf_xyz(m: MapState, px, py, pz, cfg: TsdfConfig):
+    """Nearest-voxel TSDF sample at SoA world coords (any common shape).
+
+    Returns (sdf, weight); sdf=+1, w=0 where unallocated."""
+    inv_v = 1.0 / cfg.voxel_size_m
+    vx = jnp.floor(px * inv_v).astype(jnp.int32)
+    vy = jnp.floor(py * inv_v).astype(jnp.int32)
+    vz = jnp.floor(pz * inv_v).astype(jnp.int32)
+    bx = vx >> 3
+    by = vy >> 3
+    bz = vz >> 3
+    keys = vhash.pack_xyz(bx, by, bz)
+    shape = keys.shape
+    slots = vhash.lookup_keys(m.table, keys.reshape(-1), cfg.probe_len)
+    lx = vx - (bx << 3)
+    ly = vy - (by << 3)
+    lz = vz - (bz << 3)
+    lidx = (lx + ly * BLOCK + lz * BLOCK * BLOCK).reshape(-1)
+    safe = jnp.where(slots >= 0, slots, 0)
+    flat_idx = safe * BLOCK_VOL + lidx
+    sdf = m.tsdf.reshape(-1)[flat_idx]
+    wgt = m.weight.reshape(-1)[flat_idx]
+    sdf = jnp.where(slots >= 0, sdf, 1.0).reshape(shape)
+    wgt = jnp.where(slots >= 0, wgt, 0.0).reshape(shape)
+    return sdf, wgt
+
+
 def sample_tsdf_nearest(m: MapState, pts_w: jax.Array, cfg: TsdfConfig):
-    """Nearest-voxel TSDF sample at world points (..., 3).
+    """(…, 3) wrapper for cold paths (meshing/tests)."""
+    return sample_tsdf_xyz(m, pts_w[..., 0], pts_w[..., 1], pts_w[..., 2], cfg)
 
-    Returns (sdf, weight) with sdf=+1 where unallocated."""
-    vsz = cfg.voxel_size_m
-    vcoord = jnp.floor(pts_w / vsz).astype(jnp.int32)
-    bcoord = jnp.floor(vcoord / BLOCK).astype(jnp.int32)
-    local = vcoord - bcoord * BLOCK
-    flat_shape = pts_w.shape[:-1]
-    q = bcoord.reshape(-1, 3)
-    slots = vhash.lookup(m.table, q, cfg.probe_len)
-    lidx = (local[..., 0] + local[..., 1] * BLOCK
-            + local[..., 2] * BLOCK * BLOCK).reshape(-1)
+
+def sample_color_xyz(m: MapState, px, py, pz, cfg: TsdfConfig):
+    """Nearest-voxel packed color sample; returns (r, g, b) floats."""
+    inv_v = 1.0 / cfg.voxel_size_m
+    vx = jnp.floor(px * inv_v).astype(jnp.int32)
+    vy = jnp.floor(py * inv_v).astype(jnp.int32)
+    vz = jnp.floor(pz * inv_v).astype(jnp.int32)
+    bx = vx >> 3
+    by = vy >> 3
+    bz = vz >> 3
+    keys = vhash.pack_xyz(bx, by, bz)
+    shape = keys.shape
+    slots = vhash.lookup_keys(m.table, keys.reshape(-1), cfg.probe_len)
+    lx = vx - (bx << 3)
+    ly = vy - (by << 3)
+    lz = vz - (bz << 3)
+    lidx = (lx + ly * BLOCK + lz * BLOCK * BLOCK).reshape(-1)
     safe = jnp.where(slots >= 0, slots, 0)
-    sdf = m.tsdf[safe, lidx]
-    wgt = m.weight[safe, lidx]
-    sdf = jnp.where(slots >= 0, sdf, 1.0)
-    wgt = jnp.where(slots >= 0, wgt, 0.0)
-    return sdf.reshape(flat_shape), wgt.reshape(flat_shape)
+    packed = m.color.reshape(-1)[safe * BLOCK_VOL + lidx]
+    packed = jnp.where(slots >= 0, packed, 0).reshape(shape)
+    return unpack_rgb(packed)
 
 
-def sample_color_nearest(m: MapState, pts_w: jax.Array, cfg: TsdfConfig):
+def sample_tsdf_trilinear_xyz(m: MapState, px, py, pz, cfg: TsdfConfig):
+    """Trilinear TSDF sample (8 nearest lookups); returns (sdf, min_w)."""
     vsz = cfg.voxel_size_m
-    vcoord = jnp.floor(pts_w / vsz).astype(jnp.int32)
-    bcoord = jnp.floor(vcoord / BLOCK).astype(jnp.int32)
-    local = vcoord - bcoord * BLOCK
-    flat_shape = pts_w.shape[:-1]
-    q = bcoord.reshape(-1, 3)
-    slots = vhash.lookup(m.table, q, cfg.probe_len)
-    lidx = (local[..., 0] + local[..., 1] * BLOCK
-            + local[..., 2] * BLOCK * BLOCK).reshape(-1)
-    safe = jnp.where(slots >= 0, slots, 0)
-    col = m.color[safe, lidx]
-    col = jnp.where((slots >= 0)[:, None], col, 0.0)
-    return col.reshape(flat_shape + (3,))
-
-
-def sample_tsdf_trilinear(m: MapState, pts_w: jax.Array, cfg: TsdfConfig):
-    """Trilinear TSDF sample (8 nearest lookups); returns (sdf, min_weight)."""
-    vsz = cfg.voxel_size_m
-    g = pts_w / vsz - 0.5                      # voxel-center grid coords
-    g0 = jnp.floor(g)
-    f = g - g0
+    gx = px / vsz - 0.5
+    gy = py / vsz - 0.5
+    gz = pz / vsz - 0.5
+    g0x = jnp.floor(gx)
+    g0y = jnp.floor(gy)
+    g0z = jnp.floor(gz)
+    fx = gx - g0x
+    fy = gy - g0y
+    fz = gz - g0z
     acc = 0.0
     wmin = None
     for dz in (0, 1):
         for dy in (0, 1):
             for dx in (0, 1):
-                corner = (g0 + jnp.array([dx, dy, dz], dtype=g0.dtype) + 0.5) * vsz
-                s, w = sample_tsdf_nearest(m, corner, cfg)
+                cx = (g0x + dx + 0.5) * vsz
+                cy = (g0y + dy + 0.5) * vsz
+                cz = (g0z + dz + 0.5) * vsz
+                s, w = sample_tsdf_xyz(m, cx, cy, cz, cfg)
                 wt = (
-                    (f[..., 0] if dx else 1 - f[..., 0])
-                    * (f[..., 1] if dy else 1 - f[..., 1])
-                    * (f[..., 2] if dz else 1 - f[..., 2])
+                    (fx if dx else 1 - fx)
+                    * (fy if dy else 1 - fy)
+                    * (fz if dz else 1 - fz)
                 )
                 acc = acc + s * wt
                 wmin = w if wmin is None else jnp.minimum(wmin, w)
     return acc, wmin
+
+
+def sample_tsdf_trilinear(m: MapState, pts_w: jax.Array, cfg: TsdfConfig):
+    return sample_tsdf_trilinear_xyz(
+        m, pts_w[..., 0], pts_w[..., 1], pts_w[..., 2], cfg
+    )

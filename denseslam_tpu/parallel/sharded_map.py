@@ -45,13 +45,21 @@ _OWNER_P2 = jnp.int32(40503)
 _OWNER_P3 = jnp.int32(1597334677)
 
 
-def owner_of(bcoords: jax.Array, n_devices: int) -> jax.Array:
-    """Device owning a block coord (..., 3) — supertile hash, NOT the slot
-    hash (decorrelated so shards stay load-balanced)."""
-    s = bcoords >> SUPER_SHIFT
-    h = (s[..., 0] * _OWNER_P1) ^ (s[..., 1] * _OWNER_P2) ^ (s[..., 2] * _OWNER_P3)
+def owner_of_keys(keys: jax.Array, n_devices: int) -> jax.Array:
+    """Device owning a packed block key — supertile hash, NOT the slot hash
+    (decorrelated so shards stay load-balanced). SoA throughout."""
+    from ..ops.hash import unpack_xyz
+    x, y, z = unpack_xyz(keys)
+    h = ((x >> SUPER_SHIFT) * _OWNER_P1) ^ ((y >> SUPER_SHIFT) * _OWNER_P2) \
+        ^ ((z >> SUPER_SHIFT) * _OWNER_P3)
     h = h ^ (h >> 8)
     return (h & jnp.int32(2 ** 30 - 1)) % jnp.int32(n_devices)
+
+
+def owner_of(bcoords: jax.Array, n_devices: int) -> jax.Array:
+    """Coord-space wrapper (tests/debug)."""
+    from ..ops.hash import pack_coords
+    return owner_of_keys(pack_coords(bcoords), n_devices)
 
 
 def local_tsdf_config(cfg: TsdfConfig, n_devices: int) -> TsdfConfig:
@@ -83,11 +91,11 @@ def _fuse_local(m, depth, gray, T_wc, *, local_cfg: TsdfConfig,
     dev = jax.lax.axis_index(MAP_AXIS)
     old_overflow = m.overflow
     old_decayed = m.decayed_blocks
-    coords, cmask = tsdf_ops.touched_blocks_from_depth(depth, T_wc, intr, local_cfg)
-    cmask = cmask & (owner_of(coords, n_devices) == dev)
     from ..ops import hash as vhash
-    uniq, umask, total = vhash.unique_coords(coords, cmask, local_cfg.max_visible_blocks)
-    table, slots, fresh = vhash.insert(m.table, uniq, umask, local_cfg.probe_len)
+    keys = tsdf_ops.touched_block_keys(depth, T_wc, intr, local_cfg)
+    keys = jnp.where(owner_of_keys(keys, n_devices) == dev, keys, vhash.EMPTY_KEY)
+    uniq, umask, total = vhash.unique_keys(keys, local_cfg.max_visible_blocks)
+    table, slots, fresh = vhash.insert_keys(m.table, uniq, umask, local_cfg.probe_len)
     live = umask & (slots >= 0)
     widx = jnp.where(fresh, slots, m.num_slots)
     alloc_frame = m.alloc_frame.at[widx].set(m.frame, mode="drop")
@@ -97,8 +105,8 @@ def _fuse_local(m, depth, gray, T_wc, *, local_cfg: TsdfConfig,
     failed = jnp.sum((umask & (slots < 0)).astype(jnp.int32))
     m = m._replace(table=table, alloc_frame=alloc_frame, last_seen=last_seen,
                    overflow=m.overflow + dropped + failed)
-    rgb = jnp.stack([gray] * 3, axis=-1)
-    m = tsdf_ops.integrate(m, jnp.where(live, slots, -1), live, depth, rgb,
+    color = tsdf_ops.pack_gray(gray)
+    m = tsdf_ops.integrate(m, jnp.where(live, slots, -1), live, depth, color,
                            T_wc, intr, local_cfg)
     if slide_params is not None and slide_params.enabled:
         m = tsdf_ops.slide_window(m, slide_params.max_age)
@@ -128,15 +136,25 @@ def _raycast_local(m, T_wc, *, local_cfg: TsdfConfig, intr: Intrinsics):
     mine = hit & (jnp.abs(d - d_min) < 1e-6)
     color = jnp.where(mine[..., None], rc.color, 0.0)
     color = jax.lax.pmax(color, MAP_AXIS)
-    # geometry from the combined depth (replicated math on every device)
-    from ..utils.camera import backproject
-    pts_c = backproject(depth, intr)
+    # geometry from the combined depth (replicated SoA math on every device)
+    h, w = depth.shape
+    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    cx = (uu - intr.cx) / intr.fx * depth
+    cy = (vv - intr.cy) / intr.fy * depth
     R = T_wc[:3, :3]
     t = T_wc[:3, 3]
-    pts_w = pts_c @ R.T + t
-    pts_w = jnp.where(hit[..., None], pts_w, 0.0)
-    normals = rc_ops._normals_from_points(pts_w, hit)
-    return rc_ops.Raycast(depth=depth, points=pts_w, normals=normals,
+    px = R[0, 0] * cx + R[0, 1] * cy + R[0, 2] * depth + t[0]
+    py = R[1, 0] * cx + R[1, 1] * cy + R[1, 2] * depth + t[1]
+    pz = R[2, 0] * cx + R[2, 1] * cy + R[2, 2] * depth + t[2]
+    z0 = jnp.zeros_like(px)
+    px = jnp.where(hit, px, z0)
+    py = jnp.where(hit, py, z0)
+    pz = jnp.where(hit, pz, z0)
+    nx, ny, nz, _ = rc_ops._normals_soA(px, py, pz, hit)
+    points = jnp.stack([px, py, pz], axis=-1)
+    normals = jnp.stack([nx, ny, nz], axis=-1)
+    return rc_ops.Raycast(depth=depth, points=points, normals=normals,
                           mask=hit, color=color)
 
 

@@ -1,0 +1,132 @@
+"""End-to-end CLI test: synthetic KITTI-format dataset on disk -> main()."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denseslam_tpu.config import tiny_test_config
+from denseslam_tpu.io import datasets, pfm, synthetic
+
+
+@pytest.fixture(scope="module")
+def kitti_dir(tmp_path_factory):
+    """Render the synthetic scene into a KITTI-odometry folder layout."""
+    import cv2
+
+    root = str(tmp_path_factory.mktemp("kitti_seq"))
+    cfg = tiny_test_config(width=160, height=120, baseline_m=0.3)
+    ds = datasets.kitti_odometry_config()
+    for sub in [ds.left_gray_folder, ds.right_gray_folder, ds.depth_folder]:
+        os.makedirs(os.path.join(root, sub))
+    poses = synthetic.make_trajectory(6, step_m=0.06, yaw_rate=0.004)
+    intr = cfg.rig.intr
+    for i in range(6):
+        T = jnp.asarray(poses[i])
+        left, right, depth = synthetic.render_stereo(T, cfg.rig)
+        cv2.imwrite(os.path.join(root, ds.left_gray_folder, f"{i:06d}.png"),
+                    np.asarray(left).astype(np.uint8))
+        cv2.imwrite(os.path.join(root, ds.right_gray_folder, f"{i:06d}.png"),
+                    np.asarray(right).astype(np.uint8))
+        d = np.asarray(depth)
+        disp = np.where(d > 0, intr.fx * cfg.rig.baseline_m / np.maximum(d, 1e-6), 0)
+        pfm.write_pfm(os.path.join(root, ds.depth_folder, f"{i:06d}.pfm"),
+                      disp.astype(np.float32))
+    with open(os.path.join(root, "calib.txt"), "w") as f:
+        f.write(f"P0: {intr.fx} 0 {intr.cx} 0  0 {intr.fy} {intr.cy} 0  0 0 1 0\n")
+        f.write(f"P1: {intr.fx} 0 {intr.cx} {-intr.fx*cfg.rig.baseline_m}  "
+                f"0 {intr.fy} {intr.cy} 0  0 0 1 0\n")
+    return root, poses
+
+
+def test_cli_full_run(kitti_dir, tmp_path):
+    from denseslam_tpu.main import main
+
+    root, poses = kitti_dir
+    out = tmp_path
+    rc = main([
+        "--dataset_root", root,
+        "--dataset_type", "kitti_odometry",
+        "--table_slots_log2", "13",
+        "--max_visible_log2", "11",
+        "--voxel_size", "0.05",
+        "--max_depth", "10",
+        "--save_trajectory", str(out / "traj.txt"),
+        "--save_kitti_trajectory", str(out / "kitti.txt"),
+        "--save_mesh", str(out / "mesh.obj"),
+        "--save_memory_log", str(out / "memory.txt"),
+        "--save_raycast_depth_dir", str(out / "raycast"),
+        "--checkpoint_out", str(out / "ckpt.npz"),
+        "--metrics_json", str(out / "metrics.json"),
+        "--quiet",
+    ])
+    assert rc == 0
+    # outputs exist and are sane
+    from denseslam_tpu.io.trajectory import load_kitti, load_tum
+    traj = load_tum(str(out / "traj.txt"))
+    assert len(traj) == 6
+    kt = load_kitti(str(out / "kitti.txt"))
+    assert len(kt) == 6
+    # trajectory tracks ground truth reasonably (tiny images)
+    errs = [np.linalg.norm(kt[i][:3, 3] - poses[i][:3, 3]) for i in range(6)]
+    assert max(errs) < 0.12, errs
+
+    mem = open(out / "memory.txt").read().splitlines()
+    assert len(mem) == 6
+    assert float(mem[-1]) > 0
+
+    assert (out / "mesh.obj").exists()
+    assert len(list((out / "raycast").glob("*.png"))) == 6
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert metrics["frames"] == 6
+
+    # raycast depth dumps decode with the x256 convention
+    import cv2
+    png = cv2.imread(str(sorted((out / "raycast").glob("*.png"))[3]),
+                     cv2.IMREAD_UNCHANGED)
+    assert png.dtype == np.uint16
+    d = png.astype(np.float32) / 256.0
+    assert 0.5 < np.median(d[d > 0]) < 10.0
+
+
+def test_cli_checkpoint_resume(kitti_dir, tmp_path):
+    from denseslam_tpu.main import main
+
+    root, _ = kitti_dir
+    ck = str(tmp_path / "ck.npz")
+    rc = main([
+        "--dataset_root", root, "--frame_limit", "3",
+        "--table_slots_log2", "13", "--max_visible_log2", "11",
+        "--voxel_size", "0.05", "--max_depth", "10",
+        "--checkpoint_out", ck, "--quiet",
+    ])
+    assert rc == 0
+    rc = main([
+        "--dataset_root", root, "--frame_offset", "3",
+        "--table_slots_log2", "13", "--max_visible_log2", "11",
+        "--voxel_size", "0.05", "--max_depth", "10",
+        "--checkpoint_in", ck,
+        "--save_trajectory", str(tmp_path / "t.txt"), "--quiet",
+    ])
+    assert rc == 0
+    from denseslam_tpu.io.trajectory import load_tum
+    # resumed run appends frames 3..5 onto the checkpointed history
+    assert len(load_tum(str(tmp_path / "t.txt"))) == 6
+
+
+def test_cli_computed_depth(kitti_dir, tmp_path):
+    from denseslam_tpu.main import main
+
+    root, _ = kitti_dir
+    rc = main([
+        "--dataset_root", root, "--frame_limit", "2",
+        "--table_slots_log2", "13", "--max_visible_log2", "11",
+        "--voxel_size", "0.05", "--max_depth", "10",
+        "--compute_depth", "--quiet",
+        "--metrics_json", str(tmp_path / "m.json"),
+    ])
+    assert rc == 0
+    m = json.loads((tmp_path / "m.json").read_text())
+    assert m["final_blocks"] > 50

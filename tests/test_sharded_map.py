@@ -70,8 +70,8 @@ def test_sharded_matches_single_device(setup):
     @jax.jit
     def fuse_single(m, depth, gray, T):
         m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T, cfg.rig.intr, cfg.tsdf)
-        rgb = jnp.stack([gray] * 3, axis=-1)
-        m = tsdf_ops.integrate(m, slots, mask, depth, rgb, T, cfg.rig.intr, cfg.tsdf)
+        m = tsdf_ops.integrate(m, slots, mask, depth, tsdf_ops.pack_gray(gray),
+                               T, cfg.rig.intr, cfg.tsdf)
         return tsdf_ops.advance_frame(m)
 
     for i in range(3):

@@ -13,20 +13,20 @@ def frame():
     cfg = tiny_test_config()
     T = jnp.eye(4, dtype=jnp.float32)
     gray, depth = synthetic.render_view(T, cfg.rig.intr)
-    rgb = jnp.stack([gray] * 3, axis=-1)
-    return cfg, T, depth, rgb
+    color = tsdf_ops.pack_gray(gray)
+    return cfg, T, depth, color
 
 
-def fuse_one(cfg, m, depth, rgb, T):
+def fuse_one(cfg, m, depth, color, T):
     m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T, cfg.rig.intr, cfg.tsdf)
-    m = tsdf_ops.integrate(m, slots, mask, depth, rgb, T, cfg.rig.intr, cfg.tsdf)
+    m = tsdf_ops.integrate(m, slots, mask, depth, color, T, cfg.rig.intr, cfg.tsdf)
     return m, slots, mask
 
 
 def test_allocate_and_integrate(frame):
-    cfg, T, depth, rgb = frame
+    cfg, T, depth, color = frame
     m = tsdf_ops.make_map(cfg.tsdf)
-    m, slots, mask = fuse_one(cfg, m, depth, rgb, T)
+    m, slots, mask = fuse_one(cfg, m, depth, color, T)
     nblocks = int(tsdf_ops.num_allocated_blocks(m))
     assert nblocks > 20
     assert int(m.overflow) == 0
@@ -38,9 +38,9 @@ def test_allocate_and_integrate(frame):
 
 def test_tsdf_zero_crossing_near_surface(frame):
     """Fused TSDF must change sign across the known surface depth."""
-    cfg, T, depth, rgb = frame
+    cfg, T, depth, color = frame
     m = tsdf_ops.make_map(cfg.tsdf)
-    m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+    m, _, _ = fuse_one(cfg, m, depth, color, T)
     h, w = depth.shape
     d = float(depth[h // 2, w // 2])
     intr = cfg.rig.intr
@@ -60,21 +60,21 @@ def test_tsdf_zero_crossing_near_surface(frame):
 def test_integrate_deintegrate_identity(frame):
     """De-fusing the same view restores the prior map (OnlineCorrection's
     core invariant)."""
-    cfg, T, depth, rgb = frame
+    cfg, T, depth, color = frame
     m0 = tsdf_ops.make_map(cfg.tsdf)
-    m0, slots0, mask0 = fuse_one(cfg, m0, depth, rgb, T)
+    m0, slots0, mask0 = fuse_one(cfg, m0, depth, color, T)
     w_before = m0.weight
     t_before = m0.tsdf
 
     # fuse a second (different) view, then de-fuse it
     T1 = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.08)
     _, depth1 = synthetic.render_view(T1, cfg.rig.intr)
-    rgb1 = jnp.stack([depth1 * 20] * 3, axis=-1)
+    color1 = tsdf_ops.pack_gray(depth1 * 20)
     m1, slots1, mask1 = tsdf_ops.allocate_for_frame(m0, depth1, T1, cfg.rig.intr, cfg.tsdf)
-    m1 = tsdf_ops.integrate(m1, slots1, mask1, depth1, rgb1, T1, cfg.rig.intr, cfg.tsdf)
+    m1 = tsdf_ops.integrate(m1, slots1, mask1, depth1, color1, T1, cfg.rig.intr, cfg.tsdf)
     assert float(jnp.abs(m1.weight - w_before).max()) > 0  # actually changed
 
-    m2 = tsdf_ops.deintegrate(m1, slots1, mask1, depth1, rgb1, T1, cfg.rig.intr, cfg.tsdf)
+    m2 = tsdf_ops.deintegrate(m1, slots1, mask1, depth1, color1, T1, cfg.rig.intr, cfg.tsdf)
     np.testing.assert_allclose(np.asarray(m2.weight), np.asarray(w_before), atol=1e-4)
     # where weight remains, tsdf is restored
     live = np.asarray(w_before) > 0
@@ -84,9 +84,9 @@ def test_integrate_deintegrate_identity(frame):
 
 
 def test_decay_reclaims_low_weight_blocks(frame):
-    cfg, T, depth, rgb = frame
+    cfg, T, depth, color = frame
     m = tsdf_ops.make_map(cfg.tsdf)
-    m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+    m, _, _ = fuse_one(cfg, m, depth, color, T)
     n0 = int(tsdf_ops.num_allocated_blocks(m))
     # age the map: advance frames beyond min_decay_age
     for _ in range(3):
@@ -101,9 +101,9 @@ def test_decay_reclaims_low_weight_blocks(frame):
 
 
 def test_decay_age_gate(frame):
-    cfg, T, depth, rgb = frame
+    cfg, T, depth, color = frame
     m = tsdf_ops.make_map(cfg.tsdf)
-    m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+    m, _, _ = fuse_one(cfg, m, depth, color, T)
     n0 = int(tsdf_ops.num_allocated_blocks(m))
     # not old enough: nothing decays
     m2 = tsdf_ops.decay(m, max_decay_weight=1.0, min_decay_age=5)
@@ -114,11 +114,11 @@ def test_decay_age_gate(frame):
 
 
 def test_decay_keeps_heavy_voxels(frame):
-    cfg, T, depth, rgb = frame
+    cfg, T, depth, color = frame
     m = tsdf_ops.make_map(cfg.tsdf)
     # fuse the same frame 4x -> weights ~4
     for _ in range(4):
-        m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+        m, _, _ = fuse_one(cfg, m, depth, color, T)
     for _ in range(3):
         m = tsdf_ops.advance_frame(m)
     n0 = int(tsdf_ops.num_allocated_blocks(m))
@@ -128,9 +128,9 @@ def test_decay_keeps_heavy_voxels(frame):
 
 
 def test_slide_window_evicts_old_blocks(frame):
-    cfg, T, depth, rgb = frame
+    cfg, T, depth, color = frame
     m = tsdf_ops.make_map(cfg.tsdf)
-    m, _, _ = fuse_one(cfg, m, depth, rgb, T)
+    m, _, _ = fuse_one(cfg, m, depth, color, T)
     n0 = int(tsdf_ops.num_allocated_blocks(m))
     for _ in range(4):
         m = tsdf_ops.advance_frame(m)
@@ -147,16 +147,16 @@ def test_slide_window_evicts_old_blocks(frame):
 
 
 def test_fusion_jit_stable(frame):
-    cfg, T, depth, rgb = frame
+    cfg, T, depth, color = frame
 
     @jax.jit
-    def step(m, depth, rgb, T):
+    def step(m, depth, color, T):
         m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T, cfg.rig.intr, cfg.tsdf)
-        m = tsdf_ops.integrate(m, slots, mask, depth, rgb, T, cfg.rig.intr, cfg.tsdf)
+        m = tsdf_ops.integrate(m, slots, mask, depth, color, T, cfg.rig.intr, cfg.tsdf)
         return tsdf_ops.advance_frame(m)
 
     m = tsdf_ops.make_map(cfg.tsdf)
-    m = step(m, depth, rgb, T)
-    m = step(m, depth, rgb, T)
+    m = step(m, depth, color, T)
+    m = step(m, depth, color, T)
     assert int(m.frame) == 2
     assert int(tsdf_ops.num_allocated_blocks(m)) > 0
