@@ -202,10 +202,16 @@ class Input:
         frame_limit: Optional[int] = None,
         input_scale: float = 1.0,
         use_color: bool = False,
+        io_backend: str = "cv2",     # "cv2" | "native" (native/dsio.cpp codecs)
     ):
         import cv2  # noqa: local import keeps cv2 optional at module load
 
         self._cv2 = cv2
+        self._native = None
+        if io_backend == "native":
+            from . import native as native_io
+            native_io.ensure_built()
+            self._native = native_io
         self.root = root
         self.config = config
         self.frame_offset = frame_offset
@@ -290,6 +296,14 @@ class Input:
         return self.frame_idx < len(self.frames)
 
     def _imread(self, path: str, gray: bool = True) -> np.ndarray:
+        if self._native is not None:
+            img = self._native.read_png(path)
+            if gray and img.ndim == 3:
+                # native decoder returns RGB order
+                img = (
+                    0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+                )
+            return img
         cv2 = self._cv2
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if img is None:
@@ -304,6 +318,8 @@ class Input:
         if path.endswith(".pfm") or not os.path.exists(path):
             pfm_path = path[:-4] + ".pfm"
             if os.path.exists(pfm_path):
+                if self._native is not None:
+                    return self._native.read_pfm(pfm_path)
                 return pfm.read_pfm(pfm_path)  # disparity float
         img = self._imread(path, gray=False)
         if self.config.depth_is_disparity:
