@@ -6,8 +6,11 @@ Headline metric (BASELINE.md): fused frames/s/chip at KITTI stereo
 resolution (1226x370, 50 m range, 6 cm voxels) — the reference's full
 pipeline runs ~10 FPS on its contemporary GPU (design assumption,
 reference: src/DenseSLAM/DenseSlam.h:488-489), so vs_baseline = fps / 10.
-One fused frame = hash allocate + TSDF integrate + slide-window + decay
-(the reference's per-keyframe fusion tail, DenseSlam.cpp:212-228).
+One fused frame = hash allocate + TSDF integrate + slide-window + decay +
+fusion-DB record (the reference's per-keyframe fusion tail,
+DenseSlam.cpp:212-228). Frames are processed in `lax.scan` batches — the
+throughput pipeline (models/dense_slam.py fuse_sequence) — with donated map
+state.
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ def main() -> None:
         VoxelDecayParams,
     )
     from denseslam_tpu.io import synthetic
-    from denseslam_tpu.models.dense_slam import fuse_keyframe, make_fusion_db
+    from denseslam_tpu.models.dense_slam import fuse_sequence, make_fusion_db
     from denseslam_tpu.ops import tsdf as tsdf_ops
     from denseslam_tpu.utils.camera import Intrinsics, StereoRig
 
@@ -61,31 +64,39 @@ def main() -> None:
         pipeline=dataclasses.replace(cfg.pipeline, fusion_db_capacity=8),
     )
 
-    fuse = jax.jit(lambda m, db, d, g, T, f: fuse_keyframe(m, db, d, g, T, f, cfg))
+    chunk = 10
+    fuse_batch = jax.jit(
+        lambda m, db, d, g, T, f: fuse_sequence(m, db, d, g, T, f, cfg),
+        donate_argnums=(0, 1),
+    )
 
     # synthetic street-like scene rendered at KITTI geometry
-    poses = synthetic.make_trajectory(4, step_m=0.8, yaw_rate=0.003)
-    frames = []
-    for i in range(4):
-        T = jnp.asarray(poses[i])
-        gray, depth = synthetic.render_view(T, intr)
-        frames.append((jax.device_put(gray), jax.device_put(depth), T))
+    poses = synthetic.make_trajectory(chunk, step_m=0.8, yaw_rate=0.003)
+    grays, depths = [], []
+    for i in range(chunk):
+        g, d = synthetic.render_view(jnp.asarray(poses[i]), intr)
+        grays.append(g)
+        depths.append(d)
+    depths = jax.device_put(jnp.stack(depths))
+    grays = jax.device_put(jnp.stack(grays))
+    T_wcs = jax.device_put(jnp.asarray(poses))
+    fids = jnp.arange(chunk, dtype=jnp.int32)
 
     m = tsdf_ops.make_map(cfg.tsdf)
     db = make_fusion_db(cfg)
 
     # warmup / compile
-    m, db = fuse(m, db, frames[0][1], frames[0][0], frames[0][2], jnp.int32(0))
+    m, db = fuse_batch(m, db, depths, grays, T_wcs, fids)
     jax.block_until_ready(m.tsdf)
 
-    n_iters = 20
+    n_chunks = 4
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        g, d, T = frames[i % len(frames)]
-        m, db = fuse(m, db, d, g, T, jnp.int32(i + 1))
+    for i in range(n_chunks):
+        m, db = fuse_batch(m, db, depths, grays, T_wcs,
+                           fids + jnp.int32((i + 1) * chunk))
     jax.block_until_ready(m.tsdf)
     dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    fps = n_chunks * chunk / dt
 
     print(json.dumps({
         "metric": "fused_frames_per_s_per_chip_kitti",

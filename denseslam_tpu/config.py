@@ -71,6 +71,10 @@ class TsdfConfig:
     min_depth_m: float = 0.3
     max_depth_m: float = 50.0
     raycast_steps: int = 192                 # bounded DDA steps per ray
+    # Depth sampling during fusion: nearest (1 gather/voxel, what ITM does)
+    # vs edge-guarded bilinear (4 gathers; sharper at depth discontinuities
+    # but ~4x the gather cost on TPU).
+    bilinear_fusion: bool = False
     weights: WeightParams = WeightParams()
 
     @property

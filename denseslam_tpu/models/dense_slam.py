@@ -143,6 +143,32 @@ def fuse_keyframe(
     return m, db
 
 
+def fuse_sequence(
+    m: tsdf_ops.MapState,
+    db: FusionDB,
+    depths: jax.Array,      # (N, H, W)
+    grays: jax.Array,       # (N, H, W)
+    T_wcs: jax.Array,       # (N, 4, 4)
+    frame_ids: jax.Array,   # (N,)
+    cfg: SystemConfig,
+) -> Tuple[tsdf_ops.MapState, FusionDB]:
+    """Fuse a whole batch of keyframes in ONE device program (`lax.scan`
+    over the frame axis). This is the throughput path: per-dispatch overhead
+    is amortised across the batch, and XLA pipelines the per-frame programs
+    back-to-back on-device — the TPU-native replacement for the reference's
+    frame loop when frames are available ahead of time (dataset eval,
+    deferred fusion of a keyframe backlog)."""
+
+    def body(carry, frame):
+        m, db = carry
+        d, g, T, fid = frame
+        m, db = fuse_keyframe(m, db, d, g, T, fid, cfg)
+        return (m, db), None
+
+    (m, db), _ = jax.lax.scan(body, (m, db), (depths, grays, T_wcs, frame_ids))
+    return m, db
+
+
 # ---------------------------------------------------------------------------
 # Online correction (jitted)
 # ---------------------------------------------------------------------------

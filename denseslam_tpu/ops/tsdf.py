@@ -274,7 +274,18 @@ def integrate(
     u, v, z, safe_slots = _fusion_geometry(
         m, visible_slots, visible_mask, T_wc, intr, cfg
     )
-    d_samp, d_valid = _depth_sample_soA(depth, u, v, max_gap_m=mu)
+    if cfg.bilinear_fusion:
+        d_samp, d_valid = _depth_sample_soA(depth, u, v, max_gap_m=mu)
+    else:
+        # nearest sample — single gather per voxel (ITM's choice)
+        ui = jnp.round(u).astype(jnp.int32)
+        vi = jnp.round(v).astype(jnp.int32)
+        inb = (ui >= 0) & (ui < intr.width) & (vi >= 0) & (vi < intr.height)
+        uc = jnp.clip(ui, 0, intr.width - 1)
+        vc = jnp.clip(vi, 0, intr.height - 1)
+        d_samp = depth.reshape(-1)[vc * intr.width + uc]
+        d_valid = inb & (d_samp > 0)
+        d_samp = jnp.where(d_valid, d_samp, 0.0)
 
     sdf = d_samp - z
     upd = (
