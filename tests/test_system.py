@@ -1,0 +1,87 @@
+"""Full-system tests: frontend + fusion + backend wired (SLAMSystem)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denseslam_tpu.config import (
+    OnlineCorrectionParams,
+    StereoConfig,
+    tiny_test_config,
+)
+from denseslam_tpu.io import synthetic
+from denseslam_tpu.models.system import PDController, SLAMSystem
+from denseslam_tpu.utils import lie
+
+
+def make_cfg():
+    cfg = tiny_test_config(width=320, height=240, baseline_m=0.25)
+    return dataclasses.replace(
+        cfg,
+        stereo=StereoConfig(max_disparity=48),
+        correction=OnlineCorrectionParams(
+            enabled=True, correction_num=3, start_correction_num=2,
+            min_error=0.005,
+        ),
+    )
+
+
+def test_system_tracks_and_runs_ba():
+    cfg = make_cfg()
+    sys_ = SLAMSystem(cfg, ba_every=3, loop_every=0)
+    poses = synthetic.make_trajectory(6, step_m=0.06, yaw_rate=0.004)
+    outs = []
+    for i in range(6):
+        T = jnp.asarray(poses[i])
+        l, r, d = synthetic.render_stereo(T, cfg.rig)
+        outs.append(sys_.process_frame(l, r, depth=d))
+    assert all(o["tracking_ok"] for o in outs)
+    assert sys_.backend.num_keyframes == 6
+    # BA ran at least once (every 3 keyframes)
+    errs = [
+        float(lie.pose_error_weighted(jnp.asarray(sys_.backend.keyframes[i].T_wc),
+                                      jnp.asarray(poses[i])))
+        for i in range(6)
+    ]
+    assert max(errs) < 0.05, errs
+    assert outs[-1]["frame_ms"] > 0
+    assert 0.25 <= outs[-1]["budget_scale"] <= 1.0
+
+
+def test_system_loop_closure_corrects_map():
+    """Out-and-back trajectory with a revisit: the system must detect the
+    loop, relax the graph, and re-fuse the dense map."""
+    cfg = make_cfg()
+    sys_ = SLAMSystem(cfg, ba_every=0, loop_every=1)
+    n = 12
+    gt = [np.eye(4, dtype=np.float32)]
+    for i in range(1, n):
+        sgn = 1.0 if i < n // 2 else -1.0
+        xi = np.array([0.01 * sgn, 0, sgn * 0.1, 0, sgn * 0.008, 0], np.float32)
+        gt.append(np.asarray(jnp.asarray(gt[-1]) @ lie.se3_exp(jnp.asarray(xi))))
+    gt.append(gt[0].copy())  # revisit
+
+    for i, T in enumerate(gt):
+        l, r, d = synthetic.render_stereo(jnp.asarray(T), cfg.rig)
+        sys_.process_frame(l, r, depth=d)
+
+    assert sys_.num_loops >= 1, "loop not detected"
+    assert sys_.num_corrections >= 1, "online correction did not re-fuse"
+    # final keyframe pulled near ground truth by the pose graph
+    err = float(lie.pose_error_weighted(
+        jnp.asarray(sys_.backend.keyframes[-1].T_wc), jnp.asarray(gt[-1])))
+    assert err < 0.05, err
+
+
+def test_pd_controller_converges():
+    pd = PDController(kp=0.8, kd=0.08, target_ms=100.0)
+    # overload: measured 400ms -> budget shrinks
+    for _ in range(20):
+        s_low = pd.update(400.0)
+    assert s_low <= 0.3
+    # underload: budget recovers
+    for _ in range(60):
+        s_high = pd.update(20.0)
+    assert s_high >= 0.9
