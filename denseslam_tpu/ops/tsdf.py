@@ -175,6 +175,14 @@ def allocate_for_frame(
     live = umask & (slots >= 0)
 
     widx = jnp.where(fresh, slots, m.num_slots)
+    # Defensively clear freshly claimed slots: a freed slot's voxel data may
+    # be dirty (e.g. the batched fuse path can write into a slot after it
+    # was freed earlier in the same chunk).
+    m = m._replace(
+        tsdf=m.tsdf.at[widx].set(1.0, mode="drop"),
+        weight=m.weight.at[widx].set(0.0, mode="drop"),
+        color=m.color.at[widx].set(0, mode="drop"),
+    )
     alloc_frame = m.alloc_frame.at[widx].set(m.frame, mode="drop")
     seen_idx = jnp.where(live, slots, m.num_slots)
     last_seen = m.last_seen.at[seen_idx].set(m.frame, mode="drop")
