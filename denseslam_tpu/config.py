@@ -75,6 +75,9 @@ class TsdfConfig:
     # vs edge-guarded bilinear (4 gathers; sharper at depth discontinuities
     # but ~4x the gather cost on TPU).
     bilinear_fusion: bool = False
+    # Fuse voxel color (ITMVoxel_s_rgb) or depth-only (ITMVoxel_s) — color
+    # costs one extra image gather + a table row r/m/w per frame.
+    fuse_color: bool = True
     weights: WeightParams = WeightParams()
 
     @property

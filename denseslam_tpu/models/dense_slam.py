@@ -131,7 +131,7 @@ def fuse_keyframe(
     tc = cfg.tsdf
     if cfg.pipeline.bilateral_filter:
         depth = bilateral_filter_depth(depth)
-    color = tsdf_ops.pack_gray(gray)
+    color = tsdf_ops.pack_gray(gray) if tc.fuse_color else None
     m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T_wc, intr, tc)
     m = tsdf_ops.integrate(m, slots, mask, depth, color, T_wc, intr, tc)
     db = db_push(db, depth, gray, T_wc, frame_id)
