@@ -136,6 +136,10 @@ class PipelineConfig:
     """Fusion DB windows etc (reference: DenseSlam.h:429-435)."""
     fusion_db_capacity: int = 64      # fused keyframe DB (for de-fusion)
     keyframe_every: int = 1           # fuse every k-th keyframe (lowfreq_exp)
+    # Spawn a new submap when the visible fraction of the active map drops
+    # below this (reference F_originalBlocksThreshold, default -1 = disabled,
+    # DenseSlam.h:502-507 / DenseSlam.cpp:554-565).
+    new_submap_threshold: float = -1.0
     use_external_odometry: bool = True  # use frontend VO pose vs internal ICP
     bilateral_filter: bool = False
 

@@ -460,6 +460,18 @@ class DenseSLAM:
             self.current_keyframes += 1
             fused = True
 
+            # New-submap policy (reference: shouldStartNewLocalMap +
+            # createNewLocalMap, DenseSlam.cpp:133-148, 554-571): spawn when
+            # this frame's visible fraction of the active map is low.
+            thr = cfg.pipeline.new_submap_threshold
+            if thr >= 0:
+                m = self.submaps.active
+                visible = int(jnp.sum(
+                    (m.last_seen == (m.frame - 1)) & m.table.valid))
+                if self.submaps.should_start_new(visible, thr):
+                    self.submaps.create_new(np.asarray(T_wc))
+                    self.db = make_fusion_db(cfg)
+
         self.pose_history.append((self.frame, np.asarray(T_wc)))
         self.frame += 1
         return dict(
@@ -523,6 +535,30 @@ class DenseSLAM:
 
     def get_preview(self, kind: str, T_wc: Optional[jax.Array] = None):
         return rc_ops.render_preview(self.raycast_view(T_wc), kind)
+
+    def raycast_composite(self, T_wc: Optional[jax.Array] = None) -> rc_ops.Raycast:
+        """Raycast across ALL device-resident submaps, min-depth combined —
+        the multi-local-map rendering the reference gets from
+        ITMVoxelMapGraphManager's composite visualisation."""
+        T = T_wc if T_wc is not None else jnp.asarray(self.fe_state.T_wc)
+        best: Optional[rc_ops.Raycast] = None
+        for idx in range(self.submaps.num_local_maps):
+            if self.submaps.is_on_host(idx):
+                continue
+            rc = self._raycast(self.submaps.maps[idx], T)
+            if best is None:
+                best = rc
+                continue
+            closer = rc.mask & (~best.mask | (rc.depth < best.depth))
+            best = rc_ops.Raycast(
+                depth=jnp.where(closer, rc.depth, best.depth),
+                points=jnp.where(closer[..., None], rc.points, best.points),
+                normals=jnp.where(closer[..., None], rc.normals, best.normals),
+                mask=best.mask | rc.mask,
+                color=jnp.where(closer[..., None], rc.color, best.color),
+            )
+        assert best is not None, "no device-resident submaps"
+        return best
 
     def memory_bytes(self) -> int:
         return int(tsdf_ops.used_memory_bytes(self.submaps.active))

@@ -82,6 +82,37 @@ class QuadMatches(NamedTuple):
     valid: jax.Array   # bool (M,)
 
 
+def estimate_gain(
+    img_a: jax.Array,        # (H, W) gray
+    img_b: jax.Array,
+    uv_a: jax.Array,         # (M, 2) matched positions in a
+    uv_b: jax.Array,         # (M, 2) matched positions in b
+    valid: jax.Array,        # (M,)
+    radius: int = 2,
+) -> jax.Array:
+    """Photometric gain of b relative to a over matched patches
+    (reference: src/libviso2/src/matcher.cpp:291-333 — mean intensity ratio
+    across correspondences; used to normalise exposure changes)."""
+    h, w = img_a.shape
+
+    def patch_sum(img, uv):
+        ui = jnp.clip(uv[:, 0].astype(jnp.int32), radius, w - 1 - radius)
+        vi = jnp.clip(uv[:, 1].astype(jnp.int32), radius, h - 1 - radius)
+        flat = img.reshape(-1)
+        acc = 0.0
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                acc = acc + flat[(vi + dy) * w + (ui + dx)]
+        return acc
+
+    sa = patch_sum(img_a, uv_a)
+    sb = patch_sum(img_b, uv_b)
+    vf = valid.astype(jnp.float32)
+    num = jnp.sum(vf * sb)
+    den = jnp.sum(vf * sa)
+    return jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), 1.0)
+
+
 def match_stereo(a: Features, b: Features, cfg: FrontendConfig) -> jax.Array:
     """Left->right matches along the epipolar band; returns (Na,) idx/-1."""
     cost = _gated_cost(

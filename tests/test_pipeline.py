@@ -181,3 +181,38 @@ def test_internal_icp_odometry():
         # feed fused pose estimate back
         errs.append(float(lie.pose_error_weighted(jnp.asarray(np.asarray(out["T_wc"])), T)))
     assert all(o < 0.05 for o in errs), errs
+
+
+def test_submap_spawn_and_composite_raycast():
+    """Aggressive new-submap threshold: moving far should spawn submaps;
+    composite raycast must still see geometry from all of them."""
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        pipeline=dataclasses.replace(cfg.pipeline, new_submap_threshold=0.5),
+    )
+    slam = DenseSLAM(cfg)
+    # two disjoint viewpoints: forward, then far ahead looking back region
+    poses = synthetic.make_trajectory(8, step_m=0.8, yaw_rate=0.0)
+    for i in range(8):
+        T = jnp.asarray(poses[i])
+        _, d = synthetic.render_view(T, cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(d), depth=d, pose_override=T)
+    assert slam.submaps.num_local_maps >= 2, slam.submaps.num_local_maps
+    rc = slam.raycast_composite(jnp.asarray(poses[4]))
+    _, gt = synthetic.render_view(jnp.asarray(poses[4]), cfg.rig.intr)
+    dd, gg = np.asarray(rc.depth), np.asarray(gt)
+    el = (gg > 0) & (gg < 7)
+    both = (dd > 0) & el
+    assert both.sum() / max(el.sum(), 1) > 0.5
+
+
+def test_gain_estimation():
+    from denseslam_tpu.ops.matching import estimate_gain
+
+    rng = np.random.default_rng(0)
+    img_a = jnp.asarray(rng.uniform(40, 200, (60, 80)).astype(np.float32))
+    img_b = img_a * 1.3  # 30% brighter
+    uv = jnp.asarray(rng.uniform(5, 55, (50, 2)).astype(np.float32))
+    g = estimate_gain(img_a, img_b, uv, uv, jnp.ones(50, bool))
+    assert abs(float(g) - 1.3) < 0.02
