@@ -342,13 +342,27 @@ class SubmapManager:
 # ---------------------------------------------------------------------------
 
 class DenseSLAM:
-    """Host-side pipeline: thin loop over jitted device programs."""
+    """Host-side pipeline: thin loop over jitted device programs.
 
-    def __init__(self, cfg: SystemConfig, seed: int = 0):
+    Pass `mesh` (a jax.sharding.Mesh over the `map` axis) to run the dense
+    map SHARDED across devices: fusion and raycast go through the SPMD
+    programs in parallel/sharded_map.py (ownership-partitioned block table,
+    pmin raycast combine). Online correction / purge currently require the
+    single-chip map (de-fusion replay is not yet sharded)."""
+
+    def __init__(self, cfg: SystemConfig, seed: int = 0, mesh=None):
         self.cfg = cfg
         self.fe_state = fe.init_frontend(cfg, seed=seed)
         self.submaps = SubmapManager(cfg)
         self.db = make_fusion_db(cfg)
+        self._sharded = None
+        if mesh is not None:
+            from ..parallel.sharded_map import ShardedTsdf
+            if cfg.correction.enabled:
+                raise NotImplementedError(
+                    "online correction is not yet supported with a sharded map")
+            self._sharded = ShardedTsdf(cfg, mesh)
+            self.submaps.maps[0] = self._sharded.make_map()
         self.frame = 0
         self.current_keyframes = 0
         self.pose_history: List[Tuple[int, np.ndarray]] = []
@@ -448,10 +462,15 @@ class DenseSLAM:
                 )
             t0 = _time.perf_counter()
             TIMERS.tic("fusion")
-            m, self.db = self._fuse(
-                self.submaps.active, self.db, depth, left, T_wc,
-                jnp.int32(self.frame),
-            )
+            if self._sharded is not None:
+                m = self._sharded.fuse(self.submaps.active, depth, left, T_wc)
+                self.db = jax.jit(db_push)(self.db, depth, left, T_wc,
+                                           jnp.int32(self.frame))
+            else:
+                m, self.db = self._fuse(
+                    self.submaps.active, self.db, depth, left, T_wc,
+                    jnp.int32(self.frame),
+                )
             self.submaps.active = m
             TIMERS.toc("fusion", sync=m.tsdf)
             self.fusion_ms.append((_time.perf_counter() - t0) * 1000.0)
@@ -531,6 +550,8 @@ class DenseSLAM:
 
     def raycast_view(self, T_wc: Optional[jax.Array] = None) -> rc_ops.Raycast:
         T = T_wc if T_wc is not None else jnp.asarray(self.fe_state.T_wc)
+        if self._sharded is not None:
+            return self._sharded.raycast(self.submaps.active, T)
         return self._raycast(self.submaps.active, T)
 
     def get_preview(self, kind: str, T_wc: Optional[jax.Array] = None):

@@ -129,3 +129,39 @@ def test_sharded_decay(setup):
         gray, depth = synthetic.render_view(T, cfg.rig.intr)
         m2 = st3.fuse(m2, depth, gray, T)
     assert n_decay < st3.num_blocks(m2)
+
+
+def test_sharded_pipeline_end_to_end(setup):
+    """DenseSLAM with a mesh: VO + sharded fusion + sharded raycast."""
+    from denseslam_tpu.models.dense_slam import DenseSLAM
+
+    cfg, mesh, _ = setup
+    slam = DenseSLAM(cfg, mesh=mesh)
+    poses = synthetic.make_trajectory(4, step_m=0.05, yaw_rate=0.0)
+    for i in range(4):
+        T = jnp.asarray(poses[i])
+        _, d = synthetic.render_view(T, cfg.rig.intr)
+        out = slam.process_frame(jnp.zeros_like(d), depth=d, pose_override=T)
+        assert out["fused"]
+    assert out["num_blocks"] > 100
+    # raycast through the sharded path matches the scene
+    rc = slam.raycast_view(jnp.asarray(poses[2]))
+    _, gt = synthetic.render_view(jnp.asarray(poses[2]), cfg.rig.intr)
+    dd, gg = np.asarray(rc.depth), np.asarray(gt)
+    el = (gg > 0) & (gg < 7)
+    both = (dd > 0) & el
+    assert both.sum() / el.sum() > 0.7
+    err = np.abs(dd[both] - gg[both])
+    assert np.median(err) < 0.08
+
+
+def test_sharded_pipeline_rejects_correction(setup):
+    import dataclasses as dc
+    import pytest as pt
+    from denseslam_tpu.config import OnlineCorrectionParams
+    from denseslam_tpu.models.dense_slam import DenseSLAM
+
+    cfg, mesh, _ = setup
+    cfg2 = dc.replace(cfg, correction=OnlineCorrectionParams(enabled=True))
+    with pt.raises(NotImplementedError):
+        DenseSLAM(cfg2, mesh=mesh)
