@@ -381,3 +381,55 @@ class Input:
     def __iter__(self):
         while self.has_more_images():
             yield self.read_next_frame()
+
+    def prefetch_iter(self, ahead: int = 4, threads: int = 2):
+        """Iterate frames with the native threaded prefetcher hiding disk
+        latency behind compute (the loader in native/dsio.cpp). Depth
+        conversion/cropping still runs on the consumer thread."""
+        from . import native as native_io
+
+        native_io.ensure_built()
+        start = self.frame_idx
+        remaining = self.frames[start:]
+        left_paths = [f[0] for f in remaining]
+        right_paths = [f[1] for f in remaining if f[1]]
+        depth_paths = []
+        for _, _, dp, _ in remaining:
+            pfm_path = dp[:-4] + ".pfm"
+            depth_paths.append(
+                pfm_path if (not os.path.exists(dp) and os.path.exists(pfm_path))
+                else dp
+            )
+        loaders = [native_io.PrefetchLoader(left_paths, ahead, threads),
+                   native_io.PrefetchLoader(depth_paths, ahead, threads)]
+        if right_paths:
+            loaders.insert(1, native_io.PrefetchLoader(right_paths, ahead, threads))
+        try:
+            for i, fr in enumerate(remaining):
+                self.frame_idx = start + i + 1
+                left = loaders[0].next()
+                right = loaders[1].next() if len(loaders) == 3 else None
+                raw_depth = loaders[-1].next()
+                if left is None or raw_depth is None:
+                    return
+                if left.ndim == 3 and not self.use_color:
+                    left = (0.299 * left[..., 0] + 0.587 * left[..., 1]
+                            + 0.114 * left[..., 2])
+                if right is not None and right.ndim == 3 and not self.use_color:
+                    right = (0.299 * right[..., 0] + 0.587 * right[..., 1]
+                             + 0.114 * right[..., 2])
+                if self.config.depth_is_disparity:
+                    disp = self._center_crop(raw_depth)
+                    fb = self.rig.intr.fx * self.rig.baseline_m / max(self.input_scale, 1e-9)
+                    depth = np.where(disp > 0.1, fb / np.maximum(disp, 0.1), 0.0)
+                else:
+                    depth = self._center_crop(raw_depth) / self.config.depth_png_scale
+                left = self._center_crop(left)
+                if right is not None:
+                    right = self._center_crop(right)
+                yield dict(left=left.astype(np.float32),
+                           right=None if right is None else right.astype(np.float32),
+                           depth=depth.astype(np.float32), timestamp=fr[3])
+        finally:
+            for ld in loaders:
+                ld.close()

@@ -125,3 +125,17 @@ def test_input_native_backend(tmp_path):
     frames = list(inp)
     assert len(frames) == 3
     np.testing.assert_allclose(frames[0]["depth"], 4.0, atol=1e-3)
+
+
+def test_input_prefetch_iter_matches_regular(tmp_path):
+    from tests.test_io_eval import _make_kitti_dataset
+    from denseslam_tpu.io import datasets
+
+    root = str(tmp_path)
+    cfg = _make_kitti_dataset(root, n=4)
+    a = list(datasets.Input(root, cfg))
+    b = list(datasets.Input(root, cfg).prefetch_iter(ahead=2))
+    assert len(a) == len(b) == 4
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(fa["left"], fb["left"], atol=1e-3)
+        np.testing.assert_allclose(fa["depth"], fb["depth"], atol=1e-3)
