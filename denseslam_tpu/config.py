@@ -89,6 +89,15 @@ class TsdfConfig:
 class FrontendConfig:
     """Sparse frontend: feature extraction, matching, RANSAC VO."""
     max_features: int = 1024          # static cap after bucketing
+    # Feature stack selection: "gradient" (libviso2-style filter-bank
+    # descriptors, the stereo-VO default) or "orb" (oriented FAST +
+    # steered BRIEF, the reference backend's currency — ORB-SLAM2 fork,
+    # reference: DenseSlam.h:376-380). Both flow through the same MXU
+    # matching/BA/retrieval programs: ORB's 256-bit descriptors are
+    # expressed as +-1/16 float vectors so squared-L2 == Hamming/64.
+    feature_type: str = "gradient"
+    orb_levels: int = 3               # ORB pyramid levels
+    orb_thresh: float = 18.0          # FAST threshold
     nms_radius: int = 4
     nms_tau: float = 25.0             # detector response threshold
     bucket_w: int = 50                # bucketing cell size, px

@@ -89,7 +89,7 @@ def build_window_problem(
 
     L = K * per_kf
     pts_w = pts_w.reshape(L, 3)
-    desc = desc.reshape(L, 32)
+    desc = desc.reshape(L, desc.shape[-1])
     cls = cls.reshape(L)
     point_valid = (host_ok & (z > 0.2) & (z < 80.0)).reshape(L)
 

@@ -46,7 +46,7 @@ def _empty_features(cfg: SystemConfig) -> feat_ops.Features:
     return feat_ops.Features(
         uv=jnp.zeros((n, 2), jnp.float32),
         cls=jnp.zeros((n,), jnp.int32),
-        desc=jnp.zeros((n, 32), jnp.float32),
+        desc=jnp.zeros((n, feat_ops.desc_dim(cfg.frontend)), jnp.float32),
         score=jnp.zeros((n,), jnp.float32),
         valid=jnp.zeros((n,), bool),
     )

@@ -96,8 +96,43 @@ _DESC_OFFSETS = jnp.array(
 )
 
 
+def desc_dim(cfg: FrontendConfig) -> int:
+    """Descriptor width of the configured feature stack (static)."""
+    return 256 if cfg.feature_type == "orb" else 32
+
+
 def detect(gray: jax.Array, cfg: FrontendConfig) -> Features:
-    """Detect up to cfg.max_features features with descriptors.
+    """Detect up to cfg.max_features features with descriptors, using the
+    configured feature stack (cfg.feature_type: gradient | orb). The choice
+    is a trace-time constant — each variant compiles to its own program."""
+    if cfg.feature_type == "orb":
+        return _detect_orb(gray, cfg)
+    return _detect_gradient(gray, cfg)
+
+
+def _detect_orb(gray: jax.Array, cfg: FrontendConfig) -> Features:
+    """ORB pyramid detection adapted to the common Features struct, padded
+    to the static max_features cap."""
+    from . import orb
+
+    f = orb.detect_pyramid(gray, cfg.max_features, levels=cfg.orb_levels,
+                           thresh=cfg.orb_thresh)
+    c = orb.to_common(f)
+    n = c.uv.shape[0]
+    pad = cfg.max_features - n
+    if pad > 0:
+        c = Features(
+            uv=jnp.concatenate([c.uv, jnp.zeros((pad, 2), jnp.float32)]),
+            cls=jnp.concatenate([c.cls, jnp.zeros((pad,), jnp.int32)]),
+            desc=jnp.concatenate([c.desc, jnp.zeros((pad, 256), jnp.float32)]),
+            score=jnp.concatenate([c.score, jnp.zeros((pad,), jnp.float32)]),
+            valid=jnp.concatenate([c.valid, jnp.zeros((pad,), bool)]),
+        )
+    return c
+
+
+def _detect_gradient(gray: jax.Array, cfg: FrontendConfig) -> Features:
+    """Filter-bank detection (libviso2-style: blob/corner classes).
 
     Budget is split evenly over the 4 classes; per-class selection is
     `lax.top_k` over the NMS-passed response map.

@@ -133,8 +133,24 @@ def detect(gray: jax.Array, max_features: int = 512,
     ok = (score >= mx) & (score > 0) & inb
     flat_scores = jnp.where(ok, score, -jnp.inf).reshape(-1)
     top, idx = jax.lax.top_k(flat_scores, max_features)
-    u = (idx % w).astype(jnp.float32)
-    v = (idx // w).astype(jnp.float32)
+    ui = idx % w
+    vi = idx // w
+    # Parabolic subpixel refinement on the FAST response map — matters at
+    # coarse pyramid levels where integer coords quantise to 2^level px
+    # after mapping back to level 0 (hurts BA reprojection residuals).
+    uic = jnp.clip(ui, 1, w - 2)
+    vic = jnp.clip(vi, 1, h - 2)
+    rc = score[vic, uic]
+    rl = score[vic, uic - 1]
+    rr = score[vic, uic + 1]
+    rt = score[vic - 1, uic]
+    rb = score[vic + 1, uic]
+    den_u = rl - 2.0 * rc + rr
+    den_v = rt - 2.0 * rc + rb
+    du_sub = jnp.where(jnp.abs(den_u) > 1e-6, 0.5 * (rl - rr) / den_u, 0.0)
+    dv_sub = jnp.where(jnp.abs(den_v) > 1e-6, 0.5 * (rt - rb) / den_v, 0.0)
+    u = ui.astype(jnp.float32) + jnp.clip(du_sub, -0.5, 0.5)
+    v = vi.astype(jnp.float32) + jnp.clip(dv_sub, -0.5, 0.5)
     uv = jnp.stack([u, v], axis=-1)
     valid = jnp.isfinite(top) & (top > 0)
     ang = orientation(gray, uv)
@@ -170,6 +186,35 @@ def detect_pyramid(gray: jax.Array, max_features: int = 512,
         desc=jnp.concatenate([f.desc for f in feats]),
         score=jnp.concatenate([f.score for f in feats]),
         valid=jnp.concatenate([f.valid for f in feats]),
+    )
+
+
+def unpack_desc(desc: jax.Array) -> jax.Array:
+    """(N, 8) uint32 packed bits -> (N, 256) float in {-1/16, +1/16}.
+
+    The +-1/16 scaling makes every descriptor unit-norm, so the generic
+    squared-L2 matmul cost (ops/matching._pair_cost) equals Hamming/64 —
+    ORB plugs into the same MXU matching path as the gradient features."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = ((desc[:, :, None] >> shifts) & jnp.uint32(1)).astype(jnp.float32)
+    return (bits * 2.0 - 1.0).reshape(desc.shape[0], 8 * 32) / 16.0
+
+
+def to_common(f: OrbFeatures):
+    """OrbFeatures -> the system-wide `Features` struct (single class 0).
+
+    Downstream consumers (quad_match, build_window_problem, retrieval
+    signatures) are descriptor-width agnostic; they see (N, 256) unit
+    vectors whose distances are monotone in Hamming distance."""
+    from .features import Features
+
+    n = f.uv.shape[0]
+    return Features(
+        uv=f.uv,
+        cls=jnp.zeros((n,), jnp.int32),
+        desc=unpack_desc(f.desc),
+        score=f.score,
+        valid=f.valid,
     )
 
 
