@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import FrontendConfig
@@ -80,7 +81,9 @@ def sobel_gradients(gray: jax.Array):
     return du, dv
 
 
-_DESC_OFFSETS = jnp.array(
+# numpy, not jnp: module-level device constants poison this runtime's
+# dispatch path for the whole process (see ops/hash.py sentinel comment).
+_DESC_OFFSETS = np.array(
     # 16 sparse sample offsets (dv, du) in a 11x11 neighbourhood — same
     # spirit as the reference's sparse descriptor layout, chosen symmetric.
     [
@@ -92,7 +95,7 @@ _DESC_OFFSETS = jnp.array(
         [3, -4], [3, 0], [3, 4],
         [5, -1], [5, 1],
     ],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 # Packed-key coordinate range: each axis in [-PACK_HALF, PACK_HALF); at the
@@ -35,8 +36,15 @@ _PACK_MASK = (1 << PACK_BITS) - 1
 
 # Sentinels. EMPTY_KEY marks a free slot; EMPTY_COORD is the legacy
 # coordinate-space sentinel used by callers/tests.
-EMPTY_KEY = jnp.int32(2 ** 30)
-EMPTY_COORD = jnp.int32(-(2 ** 30))
+#
+# MUST be numpy scalars, NOT jnp device arrays: a module-level jnp constant
+# is a committed device buffer, and any sufficiently large jitted program
+# that captures one flips this runtime's dispatch into a degraded mode for
+# the REST OF THE PROCESS (~100x on every subsequent dispatch, measured
+# 0.04 ms -> 62 ms on an 8.4M gather; reproduced deterministically).
+# numpy scalars bake into the HLO as literals and are immune.
+EMPTY_KEY = np.int32(2 ** 30)
+EMPTY_COORD = np.int32(-(2 ** 30))
 
 
 def pack_xyz(x: jax.Array, y: jax.Array, z: jax.Array,

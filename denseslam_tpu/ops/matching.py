@@ -15,12 +15,15 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import FrontendConfig
 from .features import Features
 
-_INF = jnp.float32(1e9)
+# numpy, not jnp: module-level device constants poison this runtime's
+# dispatch path for the whole process (see ops/hash.py sentinel comment).
+_INF = np.float32(1e9)
 
 
 def _pair_cost(a: Features, b: Features) -> jax.Array:

@@ -29,6 +29,7 @@ import functools
 from typing import NamedTuple, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -40,9 +41,11 @@ from .mesh import MAP_AXIS
 
 SUPER_SHIFT = 2  # supertile = 4x4x4 blocks (~2 m at 6 cm voxels)
 
-_OWNER_P1 = jnp.int32(-1640531527)  # 2654435761 as wrapped int32
-_OWNER_P2 = jnp.int32(40503)
-_OWNER_P3 = jnp.int32(1597334677)
+# numpy, not jnp: module-level device constants poison this runtime's
+# dispatch path for the whole process (see ops/hash.py sentinel comment).
+_OWNER_P1 = np.int32(-1640531527)  # 2654435761 as wrapped int32
+_OWNER_P2 = np.int32(40503)
+_OWNER_P3 = np.int32(1597334677)
 
 
 def owner_of_keys(keys: jax.Array, n_devices: int) -> jax.Array:
