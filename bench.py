@@ -70,15 +70,13 @@ def main() -> None:
         donate_argnums=(0, 1),
     )
 
-    # synthetic street-like scene rendered at KITTI geometry
+    # synthetic street-like scene rendered at KITTI geometry — ONE batched
+    # render dispatch (an eager per-frame render loop floods the tunneled
+    # runtime with dispatches and degrades every later measurement).
     poses = synthetic.make_trajectory(chunk, step_m=0.8, yaw_rate=0.003)
-    grays, depths = [], []
-    for i in range(chunk):
-        g, d = synthetic.render_view(jnp.asarray(poses[i]), intr)
-        grays.append(g)
-        depths.append(d)
-    depths = jax.device_put(jnp.stack(depths))
-    grays = jax.device_put(jnp.stack(grays))
+    grays, depths = synthetic.render_trajectory(poses, intr)
+    depths = jax.device_put(depths)
+    grays = jax.device_put(grays)
     T_wcs = jax.device_put(jnp.asarray(poses))
     fids = jnp.arange(chunk, dtype=jnp.int32)
 

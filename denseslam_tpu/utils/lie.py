@@ -125,6 +125,33 @@ def se3_log(T: jax.Array) -> jax.Array:
     return jnp.concatenate([v, w], axis=-1)
 
 
+def se3_exp_np(xi) -> "np.ndarray":
+    """Pure-numpy se(3) exp for host-side setup code (no device dispatch).
+
+    Same [v, w] convention as `se3_exp`."""
+    import numpy as np
+    xi = np.asarray(xi, dtype=np.float64)
+    v, w = xi[:3], xi[3:]
+    theta = float(np.linalg.norm(w))
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]],
+                 dtype=np.float64)
+    W2 = W @ W
+    if theta < 1e-5:
+        t2 = theta * theta
+        a, b, c = 1.0 - t2 / 6.0, 0.5 - t2 / 24.0, 1.0 / 6.0 - t2 / 120.0
+    else:
+        t2 = theta * theta
+        a = np.sin(theta) / theta
+        b = (1.0 - np.cos(theta)) / t2
+        c = (theta - np.sin(theta)) / (t2 * theta)
+    R = np.eye(3) + a * W + b * W2
+    V = np.eye(3) + b * W + c * W2
+    T = np.eye(4, dtype=np.float64)
+    T[:3, :3] = R
+    T[:3, 3] = V @ v
+    return T.astype(np.float32)
+
+
 def make_T(R: jax.Array, t: jax.Array) -> jax.Array:
     """Assemble 4x4 from 3x3 rotation and translation."""
     batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])
