@@ -114,16 +114,25 @@ def make_table(num_slots: int) -> HashTable:
 
 
 def lookup_keys(table: HashTable, qkeys: jax.Array, probe_len: int) -> jax.Array:
-    """Find slots for (N,) packed keys. Returns int32 (N,), -1 when absent."""
+    """Find slots for (N,) packed keys. Returns int32 (N,), -1 when absent.
+
+    Probe rounds are a python loop of (N,) gathers — NEVER a single (N, P)
+    2D gather: a minor-dim-P intermediate tiles with 128/P-x lane padding
+    and was measured to make the raycast sampling loop ~1000x slower
+    (15 s/frame -> ms-scale after this change). Same structure as
+    insert_keys' probe loop."""
     s = table.num_slots
     h = hash_key(qkeys, s)
-    offs = jnp.arange(probe_len, dtype=jnp.int32)
-    cand = (h[:, None] + offs[None, :]) & jnp.int32(s - 1)       # (N, P)
-    match = (table.keys[cand] == qkeys[:, None]) & (qkeys != EMPTY_KEY)[:, None]
-    found = jnp.any(match, axis=-1)
-    first = jnp.argmax(match, axis=-1)
-    slot = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
-    return jnp.where(found, slot, -1)
+    valid = qkeys != EMPTY_KEY
+    slot = jnp.full(qkeys.shape, -1, dtype=jnp.int32)
+    found = jnp.zeros(qkeys.shape, dtype=bool)
+    for r in range(probe_len):
+        cand = (h + r) & jnp.int32(s - 1)
+        ck = table.keys[cand]
+        hit = ~found & valid & (ck == qkeys)
+        slot = jnp.where(hit, cand, slot)
+        found = found | hit
+    return slot
 
 
 def lookup(table: HashTable, queries: jax.Array, probe_len: int) -> jax.Array:
