@@ -44,14 +44,21 @@ def main() -> None:
     intr = Intrinsics(fx=707.09, fy=707.09, cx=601.89, cy=183.11,
                       width=w, height=h)
     rig = StereoRig(intr=intr, baseline_m=0.537)
+    # Static caps sized to the measured working set (~1-3k visible blocks at
+    # KITTI street scale): every element-granular gather/scatter in fusion
+    # scales with max_visible_blocks * 512, at ~15-30 ns/element (see
+    # .claude/skills/verify/SKILL.md), so an oversized cap directly costs
+    # frame time. alloc_subsample=2 quarters the allocation dedupe sorts
+    # (blocks project >=3 px at 50 m, so stride 2 cannot skip a block).
     tsdf = TsdfConfig(
         voxel_size_m=0.06,
         trunc_dist_m=0.24,
         table_slots=1 << 17,
-        max_visible_blocks=1 << 14,
-        max_alloc_per_frame=1 << 14,
+        max_visible_blocks=1 << 12,
+        max_alloc_per_frame=1 << 12,
         max_depth_m=50.0,
         raycast_steps=192,
+        alloc_subsample=2,
     )
     cfg = SystemConfig(
         rig=rig,
@@ -83,18 +90,29 @@ def main() -> None:
     m = tsdf_ops.make_map(cfg.tsdf)
     db = make_fusion_db(cfg)
 
+    # Sync by fetching a scalar DERIVED from the map: on this tunneled
+    # runtime block_until_ready alone can return before remote execution
+    # completes (see .claude/skills/verify/SKILL.md — timing methodology).
+    count = jax.jit(tsdf_ops.num_allocated_blocks)
+
     # warmup / compile
     m, db = fuse_batch(m, db, depths, grays, T_wcs, fids)
-    jax.block_until_ready(m.tsdf)
+    float(jax.device_get(count(m)))
 
     n_chunks = 4
     t0 = time.perf_counter()
     for i in range(n_chunks):
         m, db = fuse_batch(m, db, depths, grays, T_wcs,
                            fids + jnp.int32((i + 1) * chunk))
-    jax.block_until_ready(m.tsdf)
+    float(jax.device_get(count(m)))
     dt = time.perf_counter() - t0
     fps = n_chunks * chunk / dt
+
+    overflow = int(jax.device_get(m.overflow))
+    if overflow:
+        raise RuntimeError(
+            f"visible/alloc cap overflowed ({overflow}) — fps number would "
+            "be understating the work; raise max_visible_blocks")
 
     print(json.dumps({
         "metric": "fused_frames_per_s_per_chip_kitti",
