@@ -75,6 +75,10 @@ class TsdfConfig:
     # vs edge-guarded bilinear (4 gathers; sharper at depth discontinuities
     # but ~4x the gather cost on TPU).
     bilinear_fusion: bool = False
+    # Pixel stride for the allocation pass (touched-block keys). Blocks are
+    # 8 voxels wide, so at stride 2 a 50 m-range block still projects to
+    # >=3 px and cannot be missed; the dedupe sorts shrink by stride^2.
+    alloc_subsample: int = 1
     # Fuse voxel color (ITMVoxel_s_rgb) or depth-only (ITMVoxel_s) — color
     # costs one extra image gather + a table row r/m/w per frame.
     fuse_color: bool = True
@@ -109,6 +113,11 @@ class FrontendConfig:
     ransac_thresh_px: float = 2.0     # reference: viso_stereo.h:39-41
     gn_iters: int = 8
     refine_iters: int = 12
+    # Monocular scale fixing (reference: libviso2 viso_mono — scale from
+    # the calibrated camera height over the ground plane; KITTI-ish
+    # defaults).
+    camera_height_m: float = 1.65
+    camera_pitch_rad: float = 0.0
     # PD controller on the feature budget
     # (reference: src/DenseSLAM/DenseSlam.h:382-409,486-489)
     pd_kp: float = 0.8
@@ -141,6 +150,17 @@ class BackendConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SplatParams:
+    """Forward-splat renderer caps (ops/splat.py) — the TPU-native fast
+    rendering path; see the module docstring for why marching is slow."""
+    max_blocks: int = 2048
+    max_voxels: int = 1 << 18
+    surface_eta: float = 0.3
+    z_bits: int = 12
+    fill_levels: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     """Fusion DB windows etc (reference: DenseSlam.h:429-435)."""
     fusion_db_capacity: int = 64      # fused keyframe DB (for de-fusion)
@@ -151,6 +171,15 @@ class PipelineConfig:
     new_submap_threshold: float = -1.0
     use_external_odometry: bool = True  # use frontend VO pose vs internal ICP
     bilateral_filter: bool = False
+    # Sensor mode (reference: Input.h:30-35 MONOCULAR/STEREO/RGBD):
+    # "stereo" — stereo VO + SGM depth; "rgbd" — caller supplies depth;
+    # "mono" — monocular VO with ground-plane scale; fusion only happens
+    # on frames where a depth image is supplied.
+    sensor: str = "stereo"
+    # Renderer for previews / ICP model: "splat" (forward surface splat,
+    # the TPU-native fast path) or "march" (bounded sphere tracing —
+    # reference-exact but ~100x slower on this hardware).
+    renderer: str = "splat"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,6 +190,7 @@ class SystemConfig:
     stereo: StereoConfig = StereoConfig()
     backend: BackendConfig = BackendConfig()
     pipeline: PipelineConfig = PipelineConfig()
+    splat: SplatParams = SplatParams()
     decay: VoxelDecayParams = VoxelDecayParams()
     slide_window: SlideWindowParams = SlideWindowParams()
     correction: OnlineCorrectionParams = OnlineCorrectionParams()

@@ -371,13 +371,28 @@ class DenseSLAM:
         self.fusion_ms: List[float] = []
 
         self._vo = jax.jit(functools.partial(fe.vo_step, cfg=cfg))
+        self._mono_vo = jax.jit(functools.partial(fe.mono_vo_step, cfg=cfg))
         self._fuse = jax.jit(functools.partial(fuse_keyframe, cfg=cfg))
         self._stereo = jax.jit(
             functools.partial(stereo_ops.compute_depth, rig=cfg.rig, cfg=cfg.stereo)
         )
-        self._raycast = jax.jit(
-            functools.partial(rc_ops.raycast, intr=cfg.rig.intr, cfg=cfg.tsdf)
-        )
+        if cfg.pipeline.renderer == "splat":
+            from ..ops import splat as splat_ops
+            sc = splat_ops.SplatConfig(
+                max_blocks=cfg.splat.max_blocks,
+                max_voxels=cfg.splat.max_voxels,
+                surface_eta=cfg.splat.surface_eta,
+                z_bits=cfg.splat.z_bits,
+                fill_levels=cfg.splat.fill_levels,
+            )
+            self._raycast = jax.jit(functools.partial(
+                splat_ops.splat_render, intr=cfg.rig.intr, cfg=cfg.tsdf,
+                sc=sc))
+        else:
+            self._raycast = jax.jit(
+                functools.partial(rc_ops.raycast, intr=cfg.rig.intr,
+                                  cfg=cfg.tsdf)
+            )
         self._postproc = jax.jit(functools.partial(depth_postprocess, cfg=cfg))
         self._correct = jax.jit(functools.partial(online_correction, cfg=cfg))
         self._purge = jax.jit(functools.partial(purge_culled, cfg=cfg))
@@ -416,6 +431,16 @@ class DenseSLAM:
             self.fe_state = self.fe_state._replace(T_wc=T_wc)
             tracking_ok = True
             vo_stats = {}
+        elif cfg.pipeline.sensor == "mono":
+            # Monocular mode (reference: Input.h:30-35 MONOCULAR +
+            # OrbSLAMDriver::orbTrackMonocular): pose from mono VO with
+            # ground-plane scale; dense fusion only when depth is supplied.
+            self.fe_state, vo = self._mono_vo(self.fe_state, left)
+            T_wc = vo.T_wc
+            tracking_ok = bool(vo.tracking_ok)
+            vo_stats = dict(
+                num_inliers=int(vo.num_inliers), num_quads=int(vo.num_quads)
+            )
         elif cfg.pipeline.use_external_odometry:
             if right is None:
                 raise ValueError("stereo VO needs a right image")
@@ -446,14 +471,16 @@ class DenseSLAM:
                 vo_stats = dict(icp_rmse=float(res.rmse))
         TIMERS.toc("frontend", sync=T_wc)
 
-        if depth is None:
+        if depth is None and right is not None:
             TIMERS.tic("stereo_depth")
             depth, _ = self._stereo(left, right)
             TIMERS.toc("stereo_depth", sync=depth)
 
         fused = False
         is_keyframe = (
-            tracking_ok and self.frame % cfg.pipeline.keyframe_every == 0
+            depth is not None
+            and tracking_ok
+            and self.frame % cfg.pipeline.keyframe_every == 0
         )
         if is_keyframe:
             if cfg.postprocess.enabled and self.last_fused_depth is not None:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..config import SystemConfig
 from ..ops import features as feat_ops
-from ..ops import matching, ransac
+from ..ops import matching, mono, ransac
 from ..utils import lie
 
 
@@ -104,6 +104,56 @@ def vo_step(
         T_delta=T_delta,
         num_inliers=res.num_inliers,
         num_quads=jnp.sum(q.valid.astype(jnp.int32)),
+        tracking_ok=use_est | ~state.initialized,
+    )
+    return new_state, out
+
+
+def mono_vo_step(
+    state: FrontendState,
+    left: jax.Array,
+    cfg: SystemConfig,
+) -> Tuple[FrontendState, VOOutput]:
+    """One frame of monocular VO: temporal matching + 8-point RANSAC +
+    ground-plane metric scale (the reference's libviso2 mono variant —
+    viso_mono.h:56-62 — where scale comes from the calibrated camera
+    height). Same state machine as `vo_step`; right features stay empty."""
+    fc = cfg.frontend
+    intr = cfg.rig.intr
+    f_lc = feat_ops.detect(left, fc)
+    f_lc = feat_ops.bucket(f_lc, intr.width, intr.height, fc)
+
+    m = matching.match_temporal(f_lc, state.feats_l, fc)     # curr -> prev
+    valid = (m >= 0) & f_lc.valid
+    uv_prev = state.feats_l.uv[jnp.maximum(m, 0)]
+    uv_curr = f_lc.uv
+
+    key, sub = jax.random.split(state.key)
+    res = mono.estimate_mono_motion(uv_prev, uv_curr, valid, intr, fc, sub)
+    sc = mono.estimate_scale_ground(
+        res.T_delta, uv_prev, uv_curr, res.inliers, intr,
+        fc.camera_height_m, fc.camera_pitch_rad)
+    T_est = mono.apply_scale(res.T_delta, sc.scale)
+
+    use_est = state.initialized & res.ok
+    T_delta = jnp.where(use_est, T_est, state.T_delta_prev)
+    T_delta = jnp.where(state.initialized, T_delta, jnp.eye(4, dtype=jnp.float32))
+    T_wc = state.T_wc @ lie.inv_T(T_delta)
+
+    new_state = FrontendState(
+        feats_l=f_lc,
+        feats_r=state.feats_r,
+        T_wc=T_wc,
+        T_delta_prev=T_delta,
+        initialized=jnp.ones((), bool),
+        key=key,
+        frame=state.frame + 1,
+    )
+    out = VOOutput(
+        T_wc=T_wc,
+        T_delta=T_delta,
+        num_inliers=res.num_inliers,
+        num_quads=jnp.sum(valid.astype(jnp.int32)),
         tracking_ok=use_est | ~state.initialized,
     )
     return new_state, out

@@ -29,6 +29,12 @@ class MonoVOResult(NamedTuple):
     ok: jax.Array
 
 
+class MonoScale(NamedTuple):
+    scale: jax.Array        # f32 () metric scale for the unit translation
+    num_ground: jax.Array   # i32 () points that voted
+    ok: jax.Array           # bool ()
+
+
 def _normalize(uv: jax.Array, intr: Intrinsics):
     x = (uv[..., 0] - intr.cx) / intr.fx
     y = (uv[..., 1] - intr.cy) / intr.fy
@@ -89,6 +95,57 @@ def _triangulate_depths(R, t, xp, yp, xc, yc):
     # z_c from the z row: z_c = z_p * rz + t_z
     z_c = z_p * rz + t[2]
     return z_p, z_c
+
+
+def estimate_scale_ground(
+    T_delta: jax.Array,     # (4, 4) prev -> curr, ||t|| = 1
+    uv_prev: jax.Array,     # (N, 2)
+    uv_curr: jax.Array,     # (N, 2)
+    inliers: jax.Array,     # bool (N,)
+    intr: Intrinsics,
+    camera_height_m: float,
+    camera_pitch_rad: float = 0.0,
+) -> MonoScale:
+    """Metric scale from the known camera height over the ground plane
+    (reference: src/libviso2/src/viso_mono.cpp — monocular scale is fixed by
+    triangulating inliers at unit translation and comparing the median
+    distance of ground-plane points to the calibrated camera height).
+
+    TPU shape: triangulation and the plane distances are (N,) SoA arithmetic;
+    the robust median is one sort of a masked vector. Ground candidates are
+    inliers below the principal row with positive plane distance."""
+    xp, yp = _normalize(uv_prev, intr)
+    xc, yc = _normalize(uv_curr, intr)
+    R = T_delta[:3, :3]
+    t = T_delta[:3, 3]
+    z_p, z_c = _triangulate_depths(R, t, xp, yp, xc, yc)
+    # 3D point in the prev camera frame at unit scale
+    py, pz = z_p * yp, z_p
+    # Ground plane normal in camera coords (y down, z forward), tilted by
+    # the mounting pitch: n = (0, cos p, -sin p); distance below camera.
+    cp = jnp.cos(camera_pitch_rad)
+    sp = jnp.sin(camera_pitch_rad)
+    d = py * cp - pz * sp
+    cand = (
+        inliers
+        & (z_p > 0.1) & (z_c > 0.1)
+        & (uv_prev[:, 1] > intr.cy)    # below the horizon
+        & (d > 1e-3) & jnp.isfinite(d)
+    )
+    n_cand = jnp.sum(cand.astype(jnp.int32))
+    # masked median: invalid -> +inf, sort, pick the (n_cand-1)//2-th
+    vals = jnp.where(cand, d, jnp.inf)
+    vals = jnp.sort(vals)
+    med = vals[jnp.clip((n_cand - 1) // 2, 0, vals.shape[0] - 1)]
+    ok = n_cand >= 8
+    scale = jnp.where(ok, camera_height_m / jnp.maximum(med, 1e-3), 1.0)
+    scale = jnp.clip(scale, 1e-3, 1e3)
+    return MonoScale(scale=scale, num_ground=n_cand, ok=ok)
+
+
+def apply_scale(T_delta: jax.Array, scale: jax.Array) -> jax.Array:
+    """Scale the translation of a unit-norm relative pose to metric."""
+    return T_delta.at[:3, 3].multiply(scale)
 
 
 def estimate_mono_motion(
