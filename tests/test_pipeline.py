@@ -107,6 +107,10 @@ def test_online_correction_improves_map():
             enabled=True, correction_num=4, start_correction_num=2, min_error=0.005
         )
     )
+    # the quality metric needs the precise (trilinear-refined) renderer —
+    # the splat fast path's error floor swamps the small injected drift
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, renderer="march"))
     slam = DenseSLAM(cfg)
     n = 5
     poses = synthetic.make_trajectory(n, step_m=0.06, yaw_rate=0.0)

@@ -1,0 +1,92 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denseslam_tpu.config import tiny_test_config
+from denseslam_tpu.io import synthetic
+from denseslam_tpu.ops import raycast as rc_ops
+from denseslam_tpu.ops import splat as splat_ops
+from denseslam_tpu.ops import tsdf as tsdf_ops
+
+
+def _fused_map(cfg, n=3):
+    poses = synthetic.make_trajectory(n, step_m=0.1, yaw_rate=0.0)
+    grays, depths = synthetic.render_trajectory(poses, cfg.rig.intr)
+    m = tsdf_ops.make_map(cfg.tsdf)
+    for i in range(n):
+        T = jnp.asarray(poses[i])
+        color = tsdf_ops.pack_gray(grays[i])
+        m, slots, mask = tsdf_ops.allocate_for_frame(
+            m, depths[i], T, cfg.rig.intr, cfg.tsdf)
+        m = tsdf_ops.integrate(m, slots, mask, depths[i], color, T,
+                               cfg.rig.intr, cfg.tsdf)
+        m = tsdf_ops.advance_frame(m)
+    return m, jnp.asarray(poses[0]), depths[0]
+
+
+def test_splat_matches_raycast():
+    cfg = tiny_test_config(width=160, height=120)
+    m, T, depth_gt = _fused_map(cfg)
+    sc = splat_ops.SplatConfig(max_blocks=1024, max_voxels=1 << 16)
+    rc = jax.jit(lambda m, T: splat_ops.splat_render(
+        m, T, cfg.rig.intr, cfg.tsdf, sc))(m, T)
+    ray = rc_ops.raycast(m, T, cfg.rig.intr, cfg.tsdf)
+
+    d_s = np.asarray(rc.depth)
+    d_r = np.asarray(ray.depth)
+    both = (d_s > 0) & (d_r > 0)
+    # coverage: splat sees most of what the marcher sees
+    assert both.sum() > 0.85 * (d_r > 0).sum()
+    # agreement on mutual hits within ~2 voxels
+    err = np.abs(d_s[both] - d_r[both])
+    assert np.median(err) < 2 * cfg.tsdf.voxel_size_m, np.median(err)
+    # and against the rendered GT depth
+    errg = np.abs(d_s[both] - np.asarray(depth_gt)[both])
+    assert np.median(errg) < 2 * cfg.tsdf.voxel_size_m, np.median(errg)
+
+
+def test_splat_color_and_normals():
+    cfg = tiny_test_config(width=160, height=120)
+    m, T, _ = _fused_map(cfg)
+    rc = splat_ops.splat_render(m, T, cfg.rig.intr, cfg.tsdf,
+                                splat_ops.SplatConfig(max_blocks=1024,
+                                                      max_voxels=1 << 16))
+    mask = np.asarray(rc.mask)
+    assert mask.any()
+    color = np.asarray(rc.color)
+    assert color[mask].max() > 0           # fused gray made it through
+    n = np.asarray(rc.normals)
+    nn = np.linalg.norm(n[mask], axis=-1)
+    # most hit pixels have unit-ish normals (interior of surfaces)
+    assert (np.abs(nn - 1.0) < 1e-3).mean() > 0.5
+
+
+def test_splat_empty_map():
+    cfg = tiny_test_config(width=80, height=60)
+    m = tsdf_ops.make_map(cfg.tsdf)
+    rc = splat_ops.splat_render(m, jnp.eye(4), cfg.rig.intr, cfg.tsdf,
+                                splat_ops.SplatConfig(max_blocks=256,
+                                                      max_voxels=1 << 14))
+    assert not bool(np.asarray(rc.mask).any())
+
+
+def test_splat_respects_pose():
+    """Moving the camera back shifts splat depths accordingly."""
+    cfg = tiny_test_config(width=160, height=120)
+    m, T, _ = _fused_map(cfg)
+    sc = splat_ops.SplatConfig(max_blocks=1024, max_voxels=1 << 16)
+    rc0 = splat_ops.splat_render(m, T, cfg.rig.intr, cfg.tsdf, sc)
+    T_back = np.asarray(T).copy()
+    T_back[2, 3] -= 0.5  # move back 0.5 m
+    rc1 = splat_ops.splat_render(m, jnp.asarray(T_back), cfg.rig.intr,
+                                 cfg.tsdf, sc)
+    d0 = np.asarray(rc0.depth)
+    d1 = np.asarray(rc1.depth)
+    both = (d0 > 0) & (d1 > 0)
+    # central region: depth increases by ~0.5
+    hh, ww = d0.shape
+    c = both[hh // 3: 2 * hh // 3, ww // 3: 2 * ww // 3]
+    dd = (d1 - d0)[hh // 3: 2 * hh // 3, ww // 3: 2 * ww // 3][c]
+    assert abs(np.median(dd) - 0.5) < 0.1, np.median(dd)
