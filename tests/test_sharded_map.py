@@ -165,3 +165,11 @@ def test_sharded_pipeline_rejects_correction(setup):
     cfg2 = dc.replace(cfg, correction=OnlineCorrectionParams(enabled=True))
     with pt.raises(NotImplementedError):
         DenseSLAM(cfg2, mesh=mesh)
+
+
+def test_launch_single_process_noop():
+    from denseslam_tpu.parallel import launch
+    assert launch.init_distributed() == 0
+    mesh = launch.global_map_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert launch.is_coordinator()
