@@ -128,13 +128,16 @@ def touched_block_keys(
     cfg: TsdfConfig,
 ) -> jax.Array:
     """Packed keys of blocks in the truncation band of each depth sample —
-    (k*H*W,) int32, EMPTY_KEY where invalid. Fully SoA."""
+    (k*H*W/s^2,) int32, EMPTY_KEY where invalid. Fully SoA."""
+    s = cfg.alloc_subsample
+    if s > 1:
+        depth = depth[::s, ::s]
     h, w = depth.shape
     mu = cfg.trunc_dist_m
     block_m = cfg.block_size_m
     inv_block = 1.0 / block_m
-    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * float(s)
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * float(s)
     dirx = (u - intr.cx) / intr.fx
     diry = (v - intr.cy) / intr.fy
     valid = (depth > cfg.min_depth_m) & (depth < cfg.max_depth_m)
