@@ -82,6 +82,13 @@ class TsdfConfig:
     # Fuse voxel color (ITMVoxel_s_rgb) or depth-only (ITMVoxel_s) — color
     # costs one extra image gather + a table row r/m/w per frame.
     fuse_color: bool = True
+    # Pack depth (16-bit mm) + luminance (8-bit) into ONE int32 image so
+    # fusion does a single element-granular gather instead of two (the
+    # element gathers are fusion's dominant cost — ~15-30 ns/element).
+    # Valid when the fused color is luminance (the pipeline fuses the gray
+    # left image; r==g==b) and bilinear_fusion is off; set False to fuse
+    # true RGB with a separate color gather.
+    gray_color_fusion: bool = True
     weights: WeightParams = WeightParams()
 
     @property

@@ -34,6 +34,7 @@ class Scene(NamedTuple):
     sphere_radii: jax.Array    # (S,)
     plane_y: float             # ground plane y = plane_y (y down)
     wall_z: float              # back wall z = wall_z
+    side_x: float = -1.0       # |x| = side_x street walls; <= 0 disables
 
 
 @functools.lru_cache(maxsize=1)
@@ -57,8 +58,26 @@ def default_scene() -> Scene:
                  plane_y=1.2, wall_z=8.0)
 
 
+def street_scene(length_m: float = 80.0, width_m: float = 14.0,
+                 seed: int = 7, n_spheres: int = 24) -> Scene:
+    """KITTI-like street corridor: ground plane at camera height, building
+    walls at x = +-width/2, parked-obstacle spheres along the path, far end
+    wall. Use for full-pipeline drives where the camera travels tens of
+    meters (the default scene's 8 m back wall is reached in a few frames at
+    driving speed)."""
+    rng = np.random.default_rng(seed)
+    z = rng.uniform(4.0, length_m - 5.0, n_spheres)
+    x = rng.uniform(-width_m / 2 + 1.0, width_m / 2 - 1.0, n_spheres)
+    r = rng.uniform(0.3, 1.1, n_spheres)
+    y = 1.65 - r  # resting on the ground plane
+    centers = np.stack([x, y, z], -1).astype(np.float32)
+    return Scene(jnp.asarray(centers), jnp.asarray(r.astype(np.float32)),
+                 plane_y=1.65, wall_z=float(length_m),
+                 side_x=float(width_m / 2))
+
+
 def _ray_scene_depth_soa(ox, oy, oz, dx, dy, dz,
-                         centers, radii, plane_y, wall_z):
+                         centers, radii, plane_y, wall_z, side_x=-1.0):
     """Analytic ray-scene intersection, SoA; returns ray depth t (0 = miss).
 
     `centers`/`radii` are traced arrays; sphere count is a static shape."""
@@ -91,6 +110,14 @@ def _ray_scene_depth_soa(ox, oy, oz, dx, dy, dz,
     tw = jnp.where(jnp.abs(dz) > 1e-6, (wall_z - oz) / safe_dz, big)
     tw = jnp.where(tw > 1e-3, tw, big)
     t_best = jnp.minimum(t_best, tw)
+
+    # Street side walls x = +-side_x (building fronts).
+    if side_x > 0:
+        safe_dx = jnp.where(jnp.abs(dx) > 1e-6, dx, 1.0)
+        for wx in (side_x, -side_x):
+            ts = jnp.where(jnp.abs(dx) > 1e-6, (wx - ox) / safe_dx, big)
+            ts = jnp.where(ts > 1e-3, ts, big)
+            t_best = jnp.minimum(t_best, ts)
 
     return jnp.where(t_best < big * 0.5, t_best, 0.0)
 
@@ -153,7 +180,7 @@ def _texture(pts_w: jax.Array) -> jax.Array:
 
 
 def _render_one(T_wc, centers, radii, intr: Intrinsics,
-                plane_y: float, wall_z: float):
+                plane_y: float, wall_z: float, side_x: float = -1.0):
     """Render (gray, z-depth) for one pose — trace-time body, fully SoA."""
     h, w = intr.height, intr.width
     v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -168,7 +195,7 @@ def _render_one(T_wc, centers, radii, intr: Intrinsics,
     dwz = R[2, 0] * dcx + R[2, 1] * dcy + R[2, 2]
     ox, oy, oz = t[0], t[1], t[2]
     tz = _ray_scene_depth_soa(ox, oy, oz, dwx, dwy, dwz,
-                              centers, radii, plane_y, wall_z)
+                              centers, radii, plane_y, wall_z, side_x)
     px = ox + dwx * tz
     py = oy + dwy * tz
     pz = oz + dwz * tz
@@ -178,9 +205,10 @@ def _render_one(T_wc, centers, radii, intr: Intrinsics,
 
 @functools.lru_cache(maxsize=16)
 def _render_program(intr: Intrinsics, plane_y: float, wall_z: float,
-                    batched: bool):
+                    batched: bool, side_x: float = -1.0):
     def one(T_wc, centers, radii):
-        return _render_one(T_wc, centers, radii, intr, plane_y, wall_z)
+        return _render_one(T_wc, centers, radii, intr, plane_y, wall_z,
+                           side_x)
 
     f = jax.vmap(one, in_axes=(0, None, None)) if batched else one
     return jax.jit(f)
@@ -194,7 +222,8 @@ def render_view(T_wc: jax.Array, intr: Intrinsics,
     """
     if scene is None:
         scene = default_scene()
-    f = _render_program(intr, float(scene.plane_y), float(scene.wall_z), False)
+    f = _render_program(intr, float(scene.plane_y), float(scene.wall_z),
+                        False, float(scene.side_x))
     return f(jnp.asarray(T_wc, jnp.float32),
              scene.sphere_centers, scene.sphere_radii)
 
@@ -205,7 +234,8 @@ def render_trajectory(poses, intr: Intrinsics,
     depth) in ONE device dispatch — use this for multi-frame setup."""
     if scene is None:
         scene = default_scene()
-    f = _render_program(intr, float(scene.plane_y), float(scene.wall_z), True)
+    f = _render_program(intr, float(scene.plane_y), float(scene.wall_z),
+                        True, float(scene.side_x))
     return f(jnp.asarray(poses, jnp.float32),
              scene.sphere_centers, scene.sphere_radii)
 

@@ -3,17 +3,25 @@
 The reference pipeline *reads* precomputed disparity from ELAS/DispNet PNGs
 (reference: src/DenseSLAM/PrecomputedDepthProvider.cpp:30-68); computing it
 is delegated to external tools. Here depth is computed on-device so the
-framework is self-contained:
+framework is self-contained.
+
+TPU layout: the cost volume is (H, W, D) with the disparity axis on the
+128-wide vector lanes (D = max_disparity = 128 exactly tiles), so WTA
+argmin, subpixel refinement and the SGM disparity-smoothness shifts are all
+lane-local VPU work:
 
   * cost volume: zero-mean SAD between left and d-shifted right image,
-    box-filtered — built as a (D, H, W) tensor where D is a static python
-    loop (unrolled into one fused XLA program) and the window sum is a
-    separable cumulative-sum box filter (O(1) per pixel, VPU-friendly);
+    box-filtered — D is a static python loop (unrolled into one fused XLA
+    program); window sums are separable cumulative-sum box filters;
   * SGM: 4-direction path aggregation, each direction one `lax.scan` whose
     step updates an entire row/column x D slab at once — the classic
-    serial-per-pixel recursion becomes a (W, D) vector recursion;
-  * WTA + parabolic subpixel + left/right consistency via cost-volume
-    re-indexing (no second matcher pass).
+    serial-per-pixel recursion becomes a (S, D) vector recursion;
+  * WTA + parabolic subpixel + left/right consistency. The right-image
+    volume is the shear cost_R(x, d) = cost_L(x+d, d); it is evaluated as
+    D STATIC column shifts with a running argmin — never as a
+    take-along-axis gather of the whole volume (58M element-granular
+    gathered elements ~= 1 s on this hardware; see the cost laws in
+    .claude/skills/verify/SKILL.md).
 """
 
 from __future__ import annotations
@@ -25,6 +33,8 @@ import jax.numpy as jnp
 
 from ..config import StereoConfig
 from ..utils.camera import StereoRig, disparity_to_depth
+
+_BIG = 1e4
 
 
 def _box_filter(img: jax.Array, radius: int) -> jax.Array:
@@ -50,7 +60,7 @@ def _box_filter(img: jax.Array, radius: int) -> jax.Array:
 
 
 def cost_volume(left: jax.Array, right: jax.Array, cfg: StereoConfig) -> jax.Array:
-    """(D, H, W) zero-mean SAD matching cost. Invalid (no overlap) = large."""
+    """(H, W, D) zero-mean SAD matching cost. Invalid (no overlap) = large."""
     h, w = left.shape
     r = cfg.patch_radius
     area = (2 * r + 1) ** 2
@@ -58,25 +68,26 @@ def cost_volume(left: jax.Array, right: jax.Array, cfg: StereoConfig) -> jax.Arr
     rm = right - _box_filter(right, r) / area
 
     costs = []
-    big = 1e4
     for d in range(cfg.max_disparity):
         if d == 0:
             shifted = rm
         else:
-            shifted = jnp.concatenate([jnp.zeros((h, d), rm.dtype), rm[:, :-d]], axis=1)
+            shifted = jnp.concatenate(
+                [jnp.zeros((h, d), rm.dtype), rm[:, :-d]], axis=1)
         ad = jnp.abs(lm - shifted)
         c = _box_filter(ad, r) / area
         # columns with no overlap are invalid
         col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        c = jnp.where(col >= d, c, big)
+        c = jnp.where(col >= d, c, _BIG)
         costs.append(c)
-    return jnp.stack(costs, axis=0)
+    return jnp.stack(costs, axis=-1)
 
 
 def sgm_aggregate(cost: jax.Array, cfg: StereoConfig) -> jax.Array:
-    """4-path semi-global aggregation. cost: (D, H, W) -> aggregated same
-    shape. Each path is one lax.scan along its axis over (slab, D) slices."""
-    d, h, w = cost.shape
+    """4-path semi-global aggregation. cost: (H, W, D) -> same shape.
+    Each path is one lax.scan along its axis over (slab, D) slices; the
+    disparity-smoothness shifts are lane-local."""
+    h, w, d = cost.shape
     p1 = jnp.float32(cfg.sgm_p1)
     p2 = jnp.float32(cfg.sgm_p2)
 
@@ -97,48 +108,53 @@ def sgm_aggregate(cost: jax.Array, cfg: StereoConfig) -> jax.Array:
         _, rest = jax.lax.scan(step, init, vol[1:])
         return jnp.concatenate([init[None], rest], axis=0)
 
-    # direction: left->right. scan axis = W; slab = H.
-    v_lr = jnp.transpose(cost, (2, 1, 0))          # (W, H, D)
+    # vertical passes scan the leading (H) axis directly; horizontal passes
+    # scan W after a major-axis transpose (the lane axis D never moves).
+    a_tb = path_scan(cost)
+    a_bt = path_scan(cost[::-1])[::-1]
+    v_lr = jnp.transpose(cost, (1, 0, 2))          # (W, H, D)
     a_lr = path_scan(v_lr)
     a_rl = path_scan(v_lr[::-1])[::-1]
-    v_tb = jnp.transpose(cost, (1, 2, 0))          # (H, W, D)
-    a_tb = path_scan(v_tb)
-    a_bt = path_scan(v_tb[::-1])[::-1]
 
-    agg = (
-        jnp.transpose(a_lr + a_rl, (2, 1, 0))
-        + jnp.transpose(a_tb + a_bt, (2, 0, 1))
-    )
-    return agg
+    return a_tb + a_bt + jnp.transpose(a_lr + a_rl, (1, 0, 2))
 
 
 def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
     """WTA + parabolic subpixel + left-right consistency.
 
     Returns (disp (H, W) f32, valid (H, W) bool)."""
-    d, h, w = cost.shape
-    best = jnp.argmin(cost, axis=0)                          # (H, W)
-    cmin = jnp.min(cost, axis=0)
+    h, w, d = cost.shape
+    best = jnp.argmin(cost, axis=-1).astype(jnp.int32)      # (H, W)
+    cmin = jnp.min(cost, axis=-1)
 
-    # parabolic subpixel around the winner
+    # parabolic subpixel around the winner (lane-local take_along_axis)
     dm1 = jnp.clip(best - 1, 0, d - 1)
     dp1 = jnp.clip(best + 1, 0, d - 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    c0 = cost[dm1, row, col]
-    c2 = cost[dp1, row, col]
+    c0 = jnp.take_along_axis(cost, dm1[..., None], axis=-1)[..., 0]
+    c2 = jnp.take_along_axis(cost, dp1[..., None], axis=-1)[..., 0]
     denom = c0 - 2.0 * cmin + c2
     sub = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / denom, 0.0)
     disp = best.astype(jnp.float32) + jnp.clip(sub, -0.5, 0.5)
 
-    # left-right check: right-image cost volume is a shear of the left one:
-    # cost_R(x, d) = cost_L(x + d, d)
-    xr = jnp.clip(col[None] + jnp.arange(d, dtype=jnp.int32)[:, None, None], 0, w - 1)
-    cost_r = jnp.take_along_axis(cost, xr, axis=2)
-    best_r = jnp.argmin(cost_r, axis=0)                      # (H, W) right disp
+    # left-right check. cost_R(x, d) = cost_L(x + d, d) is a shear of the
+    # left volume: D static column shifts with a running argmin (pure VPU,
+    # no volume-sized gather).
+    best_r_val = jnp.full((h, w), jnp.float32(_BIG))
+    best_r = jnp.zeros((h, w), jnp.int32)
+    for dd in range(d):
+        slab = cost[..., dd]
+        if dd > 0:
+            slab = jnp.concatenate(
+                [slab[:, dd:], jnp.full((h, dd), jnp.float32(_BIG))], axis=1)
+        better = slab < best_r_val
+        best_r_val = jnp.where(better, slab, best_r_val)
+        best_r = jnp.where(better, dd, best_r)
+
     # disp at left pixel x should equal right disp at x - disp
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     xl = jnp.clip(col - best, 0, w - 1)
-    rd = best_r[row, xl]
+    rd = best_r.reshape(-1)[(row * w + xl).reshape(-1)].reshape(h, w)
     consistent = jnp.abs(best - rd) <= cfg.lr_check_px
 
     valid = consistent & (cmin < 1e3) & (best > 0) & (best < d - 1)

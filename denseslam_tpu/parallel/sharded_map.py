@@ -126,9 +126,25 @@ def _fuse_local(m, depth, gray, T_wc, *, local_cfg: TsdfConfig,
     return tsdf_ops.advance_frame(m)
 
 
-def _raycast_local(m, T_wc, *, local_cfg: TsdfConfig, intr: Intrinsics):
-    """Per-device raycast + cross-shard min-depth combine (under shard_map)."""
-    rc = rc_ops.raycast(m, T_wc, intr, local_cfg)
+def _raycast_local(m, T_wc, *, local_cfg: TsdfConfig, intr: Intrinsics,
+                   splat_params=None):
+    """Per-device render + cross-shard min-depth combine (under shard_map).
+
+    Each shard renders only the blocks it owns (splat fast path when
+    configured, else the marching raycast); the cross-shard `pmin` of hit
+    depths recovers the true nearest surface, exactly as with marching."""
+    if splat_params is not None:
+        from ..ops import splat as splat_ops
+        sc = splat_ops.SplatConfig(
+            max_blocks=splat_params.max_blocks,
+            max_voxels=splat_params.max_voxels,
+            surface_eta=splat_params.surface_eta,
+            z_bits=splat_params.z_bits,
+            fill_levels=splat_params.fill_levels,
+        )
+        rc = splat_ops.splat_render(m, T_wc, intr, local_cfg, sc)
+    else:
+        rc = rc_ops.raycast(m, T_wc, intr, local_cfg)
     big = jnp.float32(1e9)
     d = jnp.where(rc.mask, rc.depth, big)
     d_min = jax.lax.pmin(d, MAP_AXIS)
@@ -191,7 +207,10 @@ class ShardedTsdf:
                 out_specs=mspec,
             )
         )
-        rc = functools.partial(_raycast_local, local_cfg=self.local_cfg, intr=intr)
+        rc = functools.partial(
+            _raycast_local, local_cfg=self.local_cfg, intr=intr,
+            splat_params=(cfg.splat if cfg.pipeline.renderer == "splat"
+                          else None))
         self.raycast = jax.jit(
             jax.shard_map(
                 rc, mesh=mesh,

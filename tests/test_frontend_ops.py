@@ -30,7 +30,9 @@ def test_detect_features(stereo_frames):
     assert n > 200, n
     # all detected coords in-bounds and away from borders
     uv = np.asarray(f.uv)[np.asarray(f.valid)]
-    assert uv[:, 0].min() >= 8 and uv[:, 0].max() < cfg.rig.intr.width - 8
+    # border mask admits integer coords >= 8; parabolic subpixel may
+    # shift up to half a pixel outward
+    assert uv[:, 0].min() >= 7.5 and uv[:, 0].max() < cfg.rig.intr.width - 7.5
     # descriptors unit-norm
     d = np.asarray(f.desc)[np.asarray(f.valid)]
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-3)

@@ -108,3 +108,43 @@ def test_fuse_sequence_with_regularisers():
     # one integrate on a clean block adds at most weight 1 per voxel
     w_reclaimed = np.asarray(m2.weight)[reclaimed]
     assert w_reclaimed.max() <= 1.0 + 1e-5, w_reclaimed.max()
+
+
+def test_process_sequence_full_pipeline():
+    """The batched VO+stereo+fusion scan tracks and fuses like the host
+    loop."""
+    import dataclasses
+    import numpy as np
+    from denseslam_tpu.config import tiny_test_config
+    from denseslam_tpu.io import synthetic
+    from denseslam_tpu.models import frontend as fe
+    from denseslam_tpu.models.dense_slam import (
+        make_fusion_db, process_sequence)
+    from denseslam_tpu.ops import tsdf as tsdf_ops
+
+    cfg = tiny_test_config(width=320, height=240, baseline_m=0.25)
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, fusion_db_capacity=8))
+    n = 5
+    poses = synthetic.make_trajectory(n, step_m=0.15, yaw_rate=0.0)
+    lefts, rights, _ = synthetic.render_stereo_trajectory(poses, cfg.rig)
+
+    st = fe.init_frontend(cfg, seed=0)
+    m = tsdf_ops.make_map(cfg.tsdf)
+    db = make_fusion_db(cfg)
+    fids = jnp.arange(n, dtype=jnp.int32)
+    f = jax.jit(lambda st, m, db, l, r, fi: process_sequence(
+        st, m, db, l, r, fi, cfg))
+    st, m, db, stats = f(st, m, db, lefts, rights, fids)
+
+    ok = np.asarray(stats["tracking_ok"])
+    assert ok[1:].all(), ok          # frame 0 initialises
+    assert np.asarray(stats["fused"]).sum() >= n - 1
+    assert int(tsdf_ops.num_allocated_blocks(m)) > 0
+    # forward motion recovered within 25%
+    T_last = np.asarray(stats["T_wc"][-1])
+    gt = np.linalg.norm(poses[-1][:3, 3])
+    est = np.linalg.norm(T_last[:3, 3])
+    assert abs(est - gt) / gt < 0.25, (est, gt)
+    # the fusion DB recorded the fused frames
+    assert int(np.asarray(db.valid).sum()) == int(np.asarray(stats["fused"]).sum())

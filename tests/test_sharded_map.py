@@ -80,10 +80,18 @@ def test_sharded_matches_single_device(setup):
         m_sh = st.fuse(m_sh, depth, gray, T)
         m_single = fuse_single(m_single, depth, gray, T)
 
-    from denseslam_tpu.ops import raycast as rc_ops
+    # compare with the SAME renderer the sharded path uses (splat default)
+    from denseslam_tpu.ops import splat as splat_ops
     T = jnp.asarray(poses[1])
     rc_sh = st.raycast(m_sh, T)
-    rc_si = rc_ops.raycast(m_single, T, cfg.rig.intr, cfg.tsdf)
+    sp = cfg.splat
+    rc_si = splat_ops.splat_render(
+        m_single, T, cfg.rig.intr, cfg.tsdf,
+        splat_ops.SplatConfig(max_blocks=sp.max_blocks,
+                              max_voxels=sp.max_voxels,
+                              surface_eta=sp.surface_eta,
+                              z_bits=sp.z_bits,
+                              fill_levels=sp.fill_levels))
     d_sh = np.asarray(rc_sh.depth)
     d_si = np.asarray(rc_si.depth)
     # identical math where both hit cleanly: the bulk must agree bitwise-ish
