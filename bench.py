@@ -50,12 +50,16 @@ def main() -> None:
     # .claude/skills/verify/SKILL.md), so an oversized cap directly costs
     # frame time. alloc_subsample=2 quarters the allocation dedupe sorts
     # (blocks project >=3 px at 50 m, so stride 2 cannot skip a block).
+    # The street corridor scene touches ~4.9k unique blocks/frame at 50 m
+    # range (the old single-room scene touched only ~200-600 — an
+    # unrepresentatively light allocation load); cap 8192 leaves headroom
+    # and the overflow assert below keeps the number honest.
     tsdf = TsdfConfig(
         voxel_size_m=0.06,
         trunc_dist_m=0.24,
         table_slots=1 << 17,
-        max_visible_blocks=1 << 12,
-        max_alloc_per_frame=1 << 12,
+        max_visible_blocks=1 << 13,
+        max_alloc_per_frame=1 << 13,
         max_depth_m=50.0,
         raycast_steps=192,
         alloc_subsample=2,
@@ -81,7 +85,8 @@ def main() -> None:
     # render dispatch (an eager per-frame render loop floods the tunneled
     # runtime with dispatches and degrades every later measurement).
     poses = synthetic.make_trajectory(chunk, step_m=0.8, yaw_rate=0.003)
-    grays, depths = synthetic.render_trajectory(poses, intr)
+    scene = synthetic.street_scene()
+    grays, depths = synthetic.render_trajectory(poses, intr, scene)
     depths = jax.device_put(depths)
     grays = jax.device_put(grays)
     T_wcs = jax.device_put(jnp.asarray(poses))
