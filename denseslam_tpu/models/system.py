@@ -64,6 +64,8 @@ class SLAMSystem:
                                cfg.frontend.target_frame_ms)
         self.num_loops = 0
         self.num_corrections = 0
+        self._seq_fn = None
+        self._frame0 = 0
 
     def process_frame(self, left, right=None, depth=None,
                       timestamp: Optional[float] = None) -> dict:
@@ -102,6 +104,71 @@ class SLAMSystem:
         out["num_loops"] = self.num_loops
         out["num_corrections"] = self.num_corrections
         return out
+
+    def process_chunk(self, lefts, rights) -> dict:
+        """Throughput mode: run a frame batch through the batched
+        `process_sequence` scan (ONE device program — see its docstring for
+        why the host loop costs ~3x), then do the two-rate backend work at
+        chunk rate: the chunk's last frame becomes the backend keyframe
+        (the reference also keyframes at a sparser rate than fusion).
+
+        Returns the last frame's telemetry plus per-chunk stats arrays."""
+        import time as _time
+
+        from .dense_slam import process_sequence
+
+        t0 = _time.perf_counter()
+        n = lefts.shape[0]
+        slam = self.slam
+        if self._seq_fn is None:
+            import functools
+            self._seq_fn = jax.jit(
+                functools.partial(process_sequence, cfg=self.cfg),
+                donate_argnums=(1, 2),
+            )
+        fids = jnp.arange(self._frame0, self._frame0 + n, dtype=jnp.int32)
+        st, m, db, stats = self._seq_fn(
+            slam.fe_state, slam.submaps.active, slam.db, lefts, rights, fids)
+        slam.fe_state = st
+        slam.submaps.active = m
+        slam.db = db
+        self._frame0 += n
+        slam.frame = self._frame0
+
+        T_last = np.asarray(stats["T_wc"][-1])
+        fused_any = bool(np.asarray(stats["fused"]).any())
+        for i in range(n):
+            slam.pose_history.append(
+                (int(self._frame0 - n + i), np.asarray(stats["T_wc"][i])))
+
+        if fused_any:
+            self.backend.add_keyframe(
+                int(self._frame0 - 1), T_last, st.feats_l, st.feats_r)
+            nkf = self.backend.num_keyframes
+            if self.loop_every and nkf % self.loop_every == 0:
+                hit = self.backend.detect_loop()
+                if hit is not None:
+                    self.num_loops += 1
+                    ids, opt = self.backend.optimize_graph()
+                    self.num_corrections += self.slam.apply_pose_updates(ids, opt)
+                    self._resync_pose()
+            if self.ba_every and nkf >= 2 and nkf % self.ba_every == 0:
+                res = self.backend.local_ba()
+                if res is not None:
+                    ids, opt = res
+                    self.num_corrections += self.slam.apply_pose_updates(ids, opt)
+                    self._resync_pose()
+
+        dt = (_time.perf_counter() - t0) * 1000.0
+        return dict(
+            T_wc=T_last,
+            tracking_ok=bool(np.asarray(stats["tracking_ok"])[1:].all()),
+            fused=fused_any,
+            frames=n,
+            chunk_ms=dt,
+            num_loops=self.num_loops,
+            num_corrections=self.num_corrections,
+        )
 
     def _resync_pose(self) -> None:
         """Propagate the backend's latest optimised keyframe pose into the

@@ -85,3 +85,27 @@ def test_pd_controller_converges():
     for _ in range(60):
         s_high = pd.update(20.0)
     assert s_high >= 0.9
+
+
+def test_system_chunked_throughput_mode():
+    """process_chunk runs the batched scan and the chunk-rate backend."""
+    import dataclasses
+    cfg = tiny_test_config(width=320, height=240, baseline_m=0.25)
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, fusion_db_capacity=8))
+    sys_ = SLAMSystem(cfg, ba_every=2, loop_every=0)
+    n, chunk = 8, 4
+    poses = synthetic.make_trajectory(n, step_m=0.12, yaw_rate=0.0)
+    lefts, rights, _ = synthetic.render_stereo_trajectory(poses, cfg.rig)
+    outs = []
+    for i in range(0, n, chunk):
+        outs.append(sys_.process_chunk(lefts[i:i+chunk], rights[i:i+chunk]))
+    assert all(o["fused"] for o in outs)
+    assert outs[-1]["tracking_ok"]
+    assert sys_.backend.num_keyframes == n // chunk
+    assert len(sys_.trajectory()) == n
+    # recovered motion sane
+    import numpy as np
+    est = np.linalg.norm(outs[-1]["T_wc"][:3, 3])
+    gt = np.linalg.norm(poses[-1][:3, 3])
+    assert abs(est - gt) / gt < 0.3, (est, gt)
