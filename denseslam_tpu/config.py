@@ -116,6 +116,15 @@ class FrontendConfig:
     max_per_bucket: int = 4
     match_radius_px: float = 100.0    # spatial gate for matching
     stereo_band_px: float = 3.0       # epipolar band for L/R matching
+    # Neighbourhood flow-consensus outlier removal — the TPU analogue of
+    # the reference's Delaunay-neighbourhood match filter
+    # (reference: src/libviso2/src/matcher.cpp:1212-1382; tolerances mirror
+    # matcher params outlier_flow_tolerance / outlier_disp_tolerance = 5).
+    outlier_removal: bool = True
+    outlier_knn: int = 8
+    outlier_flow_tol_px: float = 5.0
+    outlier_disp_tol_px: float = 5.0
+    outlier_min_support: int = 2
     ransac_iters: int = 256           # hypotheses, batched via vmap
     ransac_thresh_px: float = 2.0     # reference: viso_stereo.h:39-41
     gn_iters: int = 8

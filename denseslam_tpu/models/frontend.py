@@ -79,6 +79,7 @@ def vo_step(
     f_lc = feat_ops.bucket(f_lc, cfg.rig.intr.width, cfg.rig.intr.height, fc)
 
     q = matching.quad_match(f_lc, f_rc, state.feats_l, state.feats_r, fc)
+    q = matching.remove_outliers(q, fc)
     key, sub = jax.random.split(state.key)
     res = ransac.estimate_stereo_motion(q, cfg.rig, fc, sub,
                                         T_init=state.T_delta_prev)
@@ -127,6 +128,18 @@ def mono_vo_step(
     valid = (m >= 0) & f_lc.valid
     uv_prev = state.feats_l.uv[jnp.maximum(m, 0)]
     uv_curr = f_lc.uv
+    if fc.outlier_removal:
+        valid = matching.flow_consensus(
+            uv_curr,
+            uv_curr[:, 0] - uv_prev[:, 0],
+            uv_curr[:, 1] - uv_prev[:, 1],
+            None,
+            valid,
+            k=fc.outlier_knn,
+            tol_flow=fc.outlier_flow_tol_px,
+            tol_disp=fc.outlier_disp_tol_px,
+            min_support=fc.outlier_min_support,
+        )
 
     key, sub = jax.random.split(state.key)
     res = mono.estimate_mono_motion(uv_prev, uv_curr, valid, intr, fc, sub)

@@ -116,6 +116,65 @@ def estimate_gain(
     return jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), 1.0)
 
 
+def flow_consensus(
+    uv: jax.Array,        # (M, 2) anchor positions (curr-left)
+    flow_u: jax.Array,    # (M,) u-flow of each match
+    flow_v: jax.Array,    # (M,) v-flow
+    disp: jax.Array | None,  # (M,) stereo disparity, or None (mono)
+    valid: jax.Array,     # (M,)
+    k: int,
+    tol_flow: float,
+    tol_disp: float,
+    min_support: int,
+) -> jax.Array:
+    """Neighbourhood flow-consensus inlier mask (M,).
+
+    The reference removes match outliers by Delaunay-triangulating the
+    current-left match positions and keeping a match only when its
+    triangulation neighbours agree in flow (and disparity for stereo)
+    (reference: src/libviso2/src/matcher.cpp:1212-1382, via Shewchuk's
+    Triangle). Delaunay construction is sequential pointer-chasing — the
+    TPU re-design gets the same local-consensus semantics from the k
+    nearest *matched* neighbours in the image plane: one (M, M) squared
+    -distance matrix on the MXU, `top_k` per row, then a vote. A match
+    survives when >= min_support neighbours have |d_flow| and |d_disp|
+    within tolerance (the reference's 2-agreeing-neighbours rule)."""
+    m = uv.shape[0]
+    d2 = jnp.sum(uv * uv, axis=-1)
+    dist = d2[:, None] + d2[None, :] - 2.0 * (uv @ uv.T)
+    ok = valid[:, None] & valid[None, :]
+    dist = jnp.where(ok, dist, _INF)
+    dist = jnp.where(jnp.eye(m, dtype=bool), _INF, dist)
+    neg, nbr = jax.lax.top_k(-dist, k)              # (M, k) nearest indices
+    nbr_ok = (-neg) < _INF * 0.5                    # neighbour is real+valid
+    du = jnp.abs(flow_u[:, None] - flow_u[nbr])
+    dv = jnp.abs(flow_v[:, None] - flow_v[nbr])
+    agree = nbr_ok & (du <= tol_flow) & (dv <= tol_flow)
+    if disp is not None:
+        dd = jnp.abs(disp[:, None] - disp[nbr])
+        agree = agree & (dd <= tol_disp)
+    support = jnp.sum(agree.astype(jnp.int32), axis=-1)
+    return valid & (support >= min_support)
+
+
+def remove_outliers(q: QuadMatches, cfg: FrontendConfig) -> QuadMatches:
+    """Flow+disparity consensus over quad matches (stereo path)."""
+    if not cfg.outlier_removal:
+        return q
+    keep = flow_consensus(
+        q.uv_lc,
+        q.uv_lc[:, 0] - q.uv_lp[:, 0],
+        q.uv_lc[:, 1] - q.uv_lp[:, 1],
+        q.uv_lc[:, 0] - q.uv_rc[:, 0],
+        q.valid,
+        k=cfg.outlier_knn,
+        tol_flow=cfg.outlier_flow_tol_px,
+        tol_disp=cfg.outlier_disp_tol_px,
+        min_support=cfg.outlier_min_support,
+    )
+    return q._replace(valid=keep)
+
+
 def match_stereo(a: Features, b: Features, cfg: FrontendConfig) -> jax.Array:
     """Left->right matches along the epipolar band; returns (Na,) idx/-1."""
     cost = _gated_cost(

@@ -127,3 +127,56 @@ def test_vo_jit(stereo_frames):
 
     res = pipeline(l0, r0, l1, r1, jax.random.PRNGKey(0))
     assert bool(res.ok)
+
+
+def test_flow_consensus_rejects_incoherent_matches():
+    """kNN flow-consensus (the Delaunay-outlier-removal analogue,
+    matcher.cpp:1212-1382) kills matches whose flow disagrees with their
+    spatial neighbours and keeps the coherent field."""
+    m = 256
+    rng = np.random.default_rng(0)
+    uv = jnp.asarray(rng.uniform(10, 300, size=(m, 2)).astype(np.float32))
+    flow_u = jnp.full((m,), 3.0)
+    flow_v = jnp.full((m,), -1.5)
+    disp = jnp.full((m,), 20.0)
+    bad = np.zeros(m, bool)
+    bad[[5, 50, 120, 200]] = True
+    flow_u = flow_u.at[np.where(bad)[0]].set(40.0)   # wild flow
+    valid = jnp.ones((m,), bool)
+    keep = matching.flow_consensus(
+        uv, flow_u, flow_v, disp, valid,
+        k=8, tol_flow=5.0, tol_disp=5.0, min_support=2)
+    keep = np.asarray(keep)
+    assert not keep[bad].any()
+    assert keep[~bad].mean() > 0.95
+
+
+def test_remove_outliers_improves_vo_with_corrupted_quads(stereo_frames):
+    """Corrupt a block of quad matches; consensus filter removes them and
+    RANSAC still recovers the pose."""
+    cfg, poses, frames = stereo_frames
+    l0, r0, _ = frames[0]
+    l1, r1, _ = frames[1]
+    f_lp = features.detect(l0, cfg.frontend)
+    f_rp = features.detect(r0, cfg.frontend)
+    f_lc = features.detect(l1, cfg.frontend)
+    f_rc = features.detect(r1, cfg.frontend)
+    q = matching.quad_match(f_lc, f_rc, f_lp, f_rp, cfg.frontend)
+    n_before = int(q.valid.sum())
+    # corrupt 20% of valid quads with large random previous-frame offsets
+    # (random per match: mutually-agreeing corruption is indistinguishable
+    # from a coherent motion cluster, which consensus rightly keeps)
+    vidx = np.where(np.asarray(q.valid))[0]
+    bad = vidx[:: 5]
+    rng = np.random.default_rng(7)
+    offs = rng.uniform(20.0, 60.0, size=(len(bad), 2)).astype(np.float32)
+    offs *= rng.choice([-1.0, 1.0], size=(len(bad), 2)).astype(np.float32)
+    uv_lp = q.uv_lp.at[bad].add(jnp.asarray(offs))
+    q = q._replace(uv_lp=uv_lp)
+    qf = matching.remove_outliers(q, cfg.frontend)
+    keep = np.asarray(qf.valid)
+    assert not keep[bad].any()          # corrupted quads all rejected
+    assert keep.sum() > 0.5 * n_before  # coherent majority survives
+    res = ransac.estimate_stereo_motion(
+        qf, cfg.rig, cfg.frontend, jax.random.PRNGKey(3))
+    assert bool(res.ok)
