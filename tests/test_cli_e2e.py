@@ -130,3 +130,33 @@ def test_cli_computed_depth(kitti_dir, tmp_path):
     assert rc == 0
     m = json.loads((tmp_path / "m.json").read_text())
     assert m["final_blocks"] > 50
+
+
+def test_scale_sequence_tool(kitti_dir, tmp_path):
+    """Offline downscale tool (reference scripts/scale_sequence.py analogue):
+    the scaled dataset must be self-consistent — halved intrinsics + halved
+    disparity preserve metric depth and the preserved baseline."""
+    import subprocess
+    import sys as _sys
+
+    root, poses = kitti_dir
+    dst = str(tmp_path / "scaled")
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "scale_sequence.py")
+    subprocess.run([_sys.executable, script, root, dst, "--scale", "0.5"],
+                   check=True)
+
+    orig = datasets.Input(root, datasets.kitti_odometry_config())
+    scaled = datasets.Input(dst, datasets.kitti_odometry_config())
+    assert scaled.rig.intr.width == orig.rig.intr.width // 2
+    assert abs(scaled.rig.intr.fx - orig.rig.intr.fx * 0.5) < 1e-3
+    assert abs(scaled.rig.baseline_m - orig.rig.baseline_m) < 1e-6
+    f0 = orig.read_next_frame()
+    s0 = scaled.read_next_frame()
+    assert s0["left"].shape[0] == f0["left"].shape[0] // 2
+    # metric depth preserved through the disparity+calib rescale
+    d_o = np.asarray(f0["depth"])
+    d_s = np.asarray(s0["depth"])
+    m_o = np.median(d_o[d_o > 0])
+    m_s = np.median(d_s[d_s > 0])
+    assert abs(m_o - m_s) / m_o < 0.05, (m_o, m_s)
