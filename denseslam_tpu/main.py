@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_in", default=None)
     p.add_argument("--metrics_json", default=None)
     p.add_argument("--quiet", action="store_true")
+    # live viewer (Pangolin-GUI equivalent; io/viewer.py)
+    p.add_argument("--live_viewer", type=int, default=0, metavar="PORT",
+                   help="serve a live HTTP dashboard on PORT (0 = off)")
+    p.add_argument("--viewer_every", type=int, default=5,
+                   help="render viewer raycast panes every N frames")
     return p
 
 
@@ -147,6 +152,13 @@ def main(argv=None) -> int:
         if d:
             os.makedirs(d, exist_ok=True)
 
+    viewer = None
+    if args.live_viewer:
+        from .io.viewer import LiveViewer
+        viewer = LiveViewer(port=args.live_viewer)
+        if not args.quiet:
+            print(f"live viewer: http://127.0.0.1:{viewer.port}/")
+
     mem_log = open(args.save_memory_log, "w") if args.save_memory_log else None
     t_start = time.time()
     n = 0
@@ -171,6 +183,32 @@ def main(argv=None) -> int:
             # memory.txt convention: one line per frame, units of 100 MB
             # (reference: DenseSLAMGUI.cpp:589-595, memoryDraw.py:40-41)
             mem_log.write(f"{out['memory_bytes'] / 100e6:.6f}\n")
+        if viewer is not None:
+            from .io.viewer import colorize_depth
+            panes = {}
+            if n % max(args.viewer_every, 1) == 0:
+                panes["input_rgb"] = np.asarray(left).astype(np.uint8)
+                if depth is not None:
+                    panes["input_depth"] = colorize_depth(
+                        np.asarray(depth), cfg.tsdf.max_depth_m)
+                from .ops import raycast as rc_ops
+                rc = slam.raycast_view()
+                panes["raycast"] = np.asarray(
+                    rc_ops.render_preview(rc, rc_ops.PREVIEW_GRAY))
+                panes["raycast_depth"] = colorize_depth(
+                    np.asarray(rc.depth), cfg.tsdf.max_depth_m)
+            viewer.update(
+                panes=panes,
+                stats=dict(
+                    frame=n, fps=n / max(time.time() - t_start, 1e-6),
+                    blocks=out["num_blocks"],
+                    memory_mb=out["memory_bytes"] / 1e6,
+                    tracking_ok=bool(out["tracking_ok"]),
+                    keyframes=(system.backend.num_keyframes
+                               if system is not None else None),
+                ),
+                pose=np.asarray(out["T_wc"]),
+            )
         if not args.quiet and n % 10 == 0:
             fps = n / (time.time() - t_start)
             print(f"frame {n}: {fps:.2f} FPS, blocks={out['num_blocks']}, "
@@ -180,6 +218,8 @@ def main(argv=None) -> int:
     # sequence end: decay catch-up (reference: DecayCatchup at shutdown)
     slam.decay_catchup()
 
+    if viewer is not None:
+        viewer.close()
     if mem_log:
         mem_log.close()
     if args.save_trajectory:

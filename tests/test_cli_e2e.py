@@ -160,3 +160,83 @@ def test_scale_sequence_tool(kitti_dir, tmp_path):
     m_o = np.median(d_o[d_o > 0])
     m_s = np.median(d_s[d_s > 0])
     assert abs(m_o - m_s) / m_o < 0.05, (m_o, m_s)
+
+
+def test_live_viewer(kitti_dir, tmp_path):
+    """LiveViewer serves dashboard/panes/state while the pipeline runs
+    (headless Pangolin-GUI equivalent, io/viewer.py)."""
+    import urllib.request
+
+    from denseslam_tpu.io.viewer import LiveViewer, colorize_depth
+
+    v = LiveViewer(port=0)  # ephemeral port
+    try:
+        img = (np.random.default_rng(0).uniform(0, 255, (60, 80))
+               .astype(np.uint8))
+        depth = np.linspace(0, 20, 60 * 80, dtype=np.float32).reshape(60, 80)
+        T = np.eye(4); T[0, 3], T[2, 3] = 1.0, 2.0
+        v.update(panes=dict(input_rgb=img,
+                            input_depth=colorize_depth(depth)),
+                 stats=dict(frame=3, fps=7.5, blocks=123, memory_mb=4.2,
+                            tracking_ok=True),
+                 pose=T)
+        base = f"http://127.0.0.1:{v.port}"
+        html = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "denseslam_tpu" in html and "trajectory" in html
+        png = urllib.request.urlopen(f"{base}/pane/input_rgb").read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        state = json.loads(urllib.request.urlopen(f"{base}/state").read())
+        assert state["stats"]["blocks"] == 123
+        assert state["trajectory"][-1] == [1.0, 0.0, 2.0]
+        assert state["memory_mb"] == [4.2]
+        code = urllib.request.urlopen(f"{base}/pane/nope").getcode() \
+            if False else 404  # urllib raises on 404; checked below
+        import urllib.error
+        try:
+            urllib.request.urlopen(f"{base}/pane/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        v.close()
+
+
+def test_cli_live_viewer_flag(kitti_dir, tmp_path):
+    """--live_viewer wires panes + telemetry through a real pipeline run."""
+    import threading
+    import urllib.request
+
+    from denseslam_tpu import main as main_mod
+    from denseslam_tpu.io import viewer as viewer_mod
+
+    captured = {}
+    orig = viewer_mod.LiveViewer
+
+    class CapturingViewer(orig):
+        def __init__(self, port=0):
+            super().__init__(port=0)
+            captured["viewer"] = self
+
+        def close(self):
+            captured["state"] = json.loads(self._state_json())
+            captured["panes"] = dict(self._panes)
+            super().close()
+
+    root, poses = kitti_dir
+    viewer_mod.LiveViewer = CapturingViewer
+    try:
+        rc = main_mod.main([
+            "--dataset_root", root,
+            "--table_slots_log2", "13", "--max_visible_log2", "11",
+            "--voxel_size", "0.05", "--max_depth", "10",
+            "--live_viewer", "1", "--viewer_every", "2", "--quiet",
+        ])
+    finally:
+        viewer_mod.LiveViewer = orig
+    assert rc == 0
+    st = captured["state"]
+    assert len(st["frames"]) == 6          # one stat push per frame
+    assert st["stats"]["frame"] == 6  # 1-indexed frame counter
+    assert len(st["trajectory"]) == 6
+    for pane in ("input_rgb", "input_depth", "raycast", "raycast_depth"):
+        assert captured["panes"][pane][:8] == b"\x89PNG\r\n\x1a\n"
