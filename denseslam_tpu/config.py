@@ -89,6 +89,12 @@ class TsdfConfig:
     # left image; r==g==b) and bilinear_fusion is off; set False to fuse
     # true RGB with a separate color gather.
     gray_color_fusion: bool = True
+    # Fusion image sampling backend: "gather" = XLA computed-index gather
+    # (~7-10 ns/element floor => ~32 ms/frame at KITTI scale), "pallas" =
+    # per-block image-tile DMA kernel (ops/sampling.py) with an XLA-gather
+    # fallback for near-field blocks whose footprint exceeds the tile.
+    sampler: str = "gather"
+    pallas_overflow_cap: int = 512    # compacted fallback block budget
     weights: WeightParams = WeightParams()
 
     @property

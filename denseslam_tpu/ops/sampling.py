@@ -1,0 +1,211 @@
+"""Pallas tile-sampler: the TSDF-fusion image gather as a TPU kernel.
+
+WHY: fusion's dominant cost is sampling the (H, W) depth/gray image at
+every visible voxel's projected pixel — V x 512 computed-index gathers.
+XLA lowers that to an element-granular gather that runs at a measured
+~7-10 ns/element floor on this hardware (~32 ms/frame at KITTI scale, the
+whole integrate budget — see ROADMAP.md "Measured cost laws"). The voxels
+of one 8^3 block, however, project into a SMALL image footprint, so the
+access pattern is tiled: this kernel DMAs each block's (TH, TW) image tile
+HBM->VMEM (4-deep pipelined), then resolves per-voxel samples with dense
+VPU/MXU ops instead of hardware gathers:
+
+  * row select: one-hot(tv) @ tile — an MXU matmul. Exact because tile
+    values are 16-bit integers split into separate depth/gray planes and
+    f32 HIGHEST-precision matmul recovers <2^16 integers exactly (one
+    nonzero term per output).
+  * column select: mask-and-sum on the VPU.
+
+Blocks whose footprint exceeds the tile (near-field: closer than
+~8*voxel*fx/TW meters) are flagged; the caller falls back to the XLA
+gather for a small compacted subset (ops/tsdf.py integrate).
+
+The reference's equivalent work is the per-voxel projectAndSplit inside
+ITM's CUDA integrate kernel (SURVEY.md section 2b, IntegrateLocalMap);
+this file is its TPU re-design, not a port.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# 8^3 voxels per block (ops/tsdf.py BLOCK_VOL; kept local to avoid a
+# circular import — tsdf.py imports this module for its fusion path).
+BLOCK_VOL = 512
+
+TILE_H = 64
+TILE_W = 128
+BCHUNK = 8     # blocks per grid step
+NBUF = 4       # DMA pipeline depth
+
+
+def _kernel(orig_ref, tuv_ref, img_ref, out_ref, tiles, sems):
+    """Grid step: sample BCHUNK blocks. orig_ref: (V,) i32 packed tile
+    origins (u0 | v0<<16), scalar-prefetched. tuv_ref: (BCHUNK, 512) i32
+    packed in-tile coords (tu | tv<<16), -1 when invalid. img_ref: padded
+    (Hp, Wp) i32 packed image rows in HBM. out_ref: (BCHUNK, 512) i32
+    packed samples (d_mm<<8 | gray), 0 where invalid."""
+    i = pl.program_id(0)
+
+    def get_dma(slot, b):
+        o = orig_ref[i * BCHUNK + b]
+        u0 = o & 0xFFFF
+        v0 = o >> 16
+        return pltpu.make_async_copy(
+            img_ref.at[pl.ds(v0, TILE_H), pl.ds(u0, TILE_W)],
+            tiles.at[slot],
+            sems.at[slot],
+        )
+
+    for b in range(min(NBUF, BCHUNK)):
+        get_dma(b % NBUF, b).start()
+
+    for b in range(BCHUNK):
+        slot = b % NBUF
+        get_dma(slot, b).wait()
+        raw = tiles[slot]                                   # (TH, TW) i32
+        td = jnp.right_shift(raw, 8).astype(jnp.float32)    # depth mm <2^16
+        tg = (raw & 0xFF).astype(jnp.float32)               # gray <2^8
+        cat = jnp.concatenate([td, tg], axis=1)             # (TH, 2*TW)
+
+        tuv = tuv_ref[b, :]                                 # (512,)
+        tu = tuv & 0xFFFF
+        tv = jnp.right_shift(tuv, 16)
+        inb = (tuv >= 0) & (tu < TILE_W) & (tv < TILE_H)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
+        onehot = (rows_i == tv[:, None]).astype(jnp.float32)
+        rows = jax.lax.dot(onehot, cat,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
+        cmask = (cols_i == tu[:, None]).astype(jnp.float32)
+        d = jnp.sum(rows[:, :TILE_W] * cmask, axis=1)       # exact int mm
+        g = jnp.sum(rows[:, TILE_W:] * cmask, axis=1)
+        packed = (d * 256.0 + g)                            # < 2^24: exact f32
+        out_ref[b, :] = jnp.where(inb, packed, 0.0).astype(jnp.int32)
+
+        nxt = b + NBUF
+        if nxt < BCHUNK:
+            get_dma(slot, nxt).start()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tile_sample_call(img_padded, orig, tuv, *, interpret: bool):
+    v = tuv.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(v // BCHUNK,),
+        in_specs=[
+            pl.BlockSpec((BCHUNK, BLOCK_VOL), lambda i, orig: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((BCHUNK, BLOCK_VOL), lambda i, orig: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, TILE_H, TILE_W), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v, BLOCK_VOL), jnp.int32),
+        interpret=interpret,
+    )(orig, tuv, img_padded)
+
+
+def _pad_image(combo: jax.Array) -> jax.Array:
+    h, w = combo.shape
+    hp = max(h, TILE_H)
+    wp = max(-(-w // 128) * 128, TILE_W)
+    if (hp, wp) != (h, w):
+        combo = jnp.pad(combo, ((0, hp - h), (0, wp - w)))
+    return combo
+
+
+def tile_sample(
+    combo: jax.Array,        # (H, W) i32 packed (depth_mm << 8 | gray)
+    u: jax.Array,            # (V, 512) f32 projected pixel u
+    v: jax.Array,            # (V, 512) f32 projected pixel v
+    z: jax.Array,            # (V, 512) f32 camera depth (gates validity)
+    width: int,
+    height: int,
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Nearest-pixel packed sample per voxel via per-block image tiles.
+
+    Returns (d_mm_f32, gray_f32, sampled_ok, overflow) where overflow (V,)
+    marks blocks whose projected footprint did not fit the (TILE_H, TILE_W)
+    tile — the caller must resolve those voxels another way. d_mm is the
+    EXACT integer mm value as f32 (same quantisation as the XLA packed
+    path, so de-integration replays identically)."""
+    nblk = u.shape[0]
+    assert nblk % BCHUNK == 0, nblk
+    combo_p = _pad_image(combo)
+    hp, wp = combo_p.shape
+
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    inb = (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height) & (z > 1e-3)
+
+    big = jnp.int32(1 << 28)
+    u_min = jnp.min(jnp.where(inb, ui, big), axis=1)
+    v_min = jnp.min(jnp.where(inb, vi, big), axis=1)
+    u_max = jnp.max(jnp.where(inb, ui, -big), axis=1)
+    v_max = jnp.max(jnp.where(inb, vi, -big), axis=1)
+    any_in = u_min <= u_max
+    overflow = any_in & (
+        ((u_max - u_min) >= TILE_W) | ((v_max - v_min) >= TILE_H)
+    )
+    u0 = jnp.clip(jnp.where(any_in, u_min, 0), 0, wp - TILE_W)
+    v0 = jnp.clip(jnp.where(any_in, v_min, 0), 0, hp - TILE_H)
+    orig = (u0 | (v0 << 16)).astype(jnp.int32)
+
+    tu = ui - u0[:, None]
+    tv = vi - v0[:, None]
+    fits = inb & (tu >= 0) & (tu < TILE_W) & (tv >= 0) & (tv < TILE_H)
+    tuv = jnp.where(fits, tu | (tv << 16), -1).astype(jnp.int32)
+
+    out = _tile_sample_call(combo_p, orig, tuv, interpret=interpret)
+    d_mm = jnp.right_shift(out, 8).astype(jnp.float32)
+    gray = (out & 0xFF).astype(jnp.float32)
+    return d_mm, gray, fits, overflow
+
+
+def gather_fallback(
+    combo: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    width: int,
+    height: int,
+    overflow: jax.Array,     # (V,) bool
+    cap: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """XLA computed-index gather for up to `cap` overflow blocks, compacted
+    so the gather is only cap x 512 elements. Returns (rows_idx, d_mm,
+    gray, ok) for the selected rows; rows beyond the real overflow count
+    are masked out."""
+    nblk = u.shape[0]
+    order = jnp.argsort(jnp.where(overflow, 0, 1).astype(jnp.int32))
+    sel = order[:cap]                                     # (cap,)
+    real = overflow[sel]
+    ui = jnp.round(u[sel]).astype(jnp.int32)
+    vi = jnp.round(v[sel]).astype(jnp.int32)
+    ok = ((ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+          & (z[sel] > 1e-3) & real[:, None])
+    uc = jnp.clip(ui, 0, width - 1)
+    vc = jnp.clip(vi, 0, height - 1)
+    got = combo.reshape(-1)[vc * width + uc]
+    d_mm = jnp.where(ok, jnp.right_shift(got, 8), 0).astype(jnp.float32)
+    gray = jnp.where(ok, got & 0xFF, 0).astype(jnp.float32)
+    return sel, d_mm, gray, ok

@@ -293,7 +293,37 @@ def integrate(
         and not cfg.bilinear_fusion
     )
     gray_samp = None
-    if cfg.bilinear_fusion:
+    if cfg.sampler == "pallas" and not cfg.bilinear_fusion:
+        # Pallas tile-sampler path (ops/sampling.py): same 1 mm-quantised
+        # nearest-pixel semantics as the packed gather below, but the image
+        # access runs as per-block VMEM tile DMAs instead of 4M element
+        # gathers. Near-field overflow blocks resolve via a compacted XLA
+        # gather so semantics stay exact for every voxel.
+        from . import sampling
+        d_mm_img = jnp.clip(jnp.round(depth * 1000.0), 0, 65535).astype(
+            jnp.int32)
+        if color_packed is not None and cfg.gray_color_fusion:
+            g8 = jnp.clip(color_packed & 0xFF, 0, 255)
+        else:
+            g8 = jnp.zeros_like(d_mm_img)
+        combo = jnp.where(depth > 0, (d_mm_img << 8) | g8, 0)
+        z_gated = jnp.where(visible_mask[:, None], z, 0.0)
+        interpret = jax.default_backend() == "cpu"
+        d_mm, gray, fits, over = sampling.tile_sample(
+            combo, u, v, z_gated, intr.width, intr.height,
+            interpret=interpret)
+        sel, d_mm_o, gray_o, ok_o = sampling.gather_fallback(
+            combo, u, v, z_gated, intr.width, intr.height, over,
+            cfg.pallas_overflow_cap)
+        d_mm = d_mm.at[sel].set(jnp.where(ok_o, d_mm_o, d_mm[sel]))
+        gray = gray.at[sel].set(jnp.where(ok_o, gray_o, gray[sel]))
+        fits = fits.at[sel].set(fits[sel] | ok_o)
+        d_samp = d_mm * 1e-3
+        if color_packed is not None and cfg.gray_color_fusion:
+            gray_samp = gray
+        d_valid = fits & (d_samp > 0)
+        d_samp = jnp.where(d_valid, d_samp, 0.0)
+    elif cfg.bilinear_fusion:
         d_samp, d_valid = _depth_sample_soA(depth, u, v, max_gap_m=mu)
     else:
         # nearest sample — single gather per voxel (ITM's choice)
