@@ -95,6 +95,12 @@ class TsdfConfig:
     # fallback for near-field blocks whose footprint exceeds the tile.
     sampler: str = "gather"
     pallas_overflow_cap: int = 512    # compacted fallback block budget
+    # Pool storage dtype for tsdf + weight planes: "float32" or "bfloat16".
+    # bf16 halves the pool's HBM row traffic (integrate reads+writes both
+    # planes every frame); math still runs in f32 (upcast on load). TSDF
+    # quantisation at bf16 is ~0.4% of the truncation band (~1 mm at 24 cm
+    # mu) — below stereo depth noise.
+    storage_dtype: str = "float32"
     weights: WeightParams = WeightParams()
 
     @property

@@ -19,7 +19,12 @@ def _flatten_with_paths(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
     flat = {}
     leaves, treedef = jax.tree.flatten(tree)
     for i, leaf in enumerate(leaves):
-        flat[f"{prefix}/{i}"] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.name == "bfloat16":
+            # npz can't serialise ml_dtypes; store raw bits, dtype comes
+            # back from the template on load.
+            arr = arr.view(np.uint16)
+        flat[f"{prefix}/{i}"] = arr
     return flat
 
 
@@ -29,6 +34,10 @@ def _unflatten_like(template: Any, data: Dict[str, np.ndarray],
     new_leaves = []
     for i, leaf in enumerate(leaves):
         arr = data[f"{prefix}/{i}"]
+        if (hasattr(leaf, "dtype") and leaf.dtype.name == "bfloat16"
+                and arr.dtype == np.uint16):
+            import ml_dtypes
+            arr = arr.view(ml_dtypes.bfloat16)
         new_leaves.append(jnp.asarray(arr) if isinstance(leaf, jax.Array) else arr)
     return jax.tree.unflatten(treedef, new_leaves)
 

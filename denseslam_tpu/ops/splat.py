@@ -120,8 +120,8 @@ def splat_render(
     rows = jnp.where(rmask, rows, 0)
 
     # ---- 3. dense row reads of the compact visible set ----------------------
-    ct = m.tsdf[rows]                                # (V, 512) row gather
-    cw_ = m.weight[rows]
+    ct = m.tsdf[rows].astype(jnp.float32)            # (V, 512) row gather
+    cw_ = m.weight[rows].astype(jnp.float32)
     cc = m.color[rows]
     ckeys = jnp.where(rmask, m.table.keys[rows], vhash.EMPTY_KEY)
 

@@ -93,12 +93,17 @@ class MapState(NamedTuple):
         return self.tsdf.shape[0]
 
 
+def storage_dtype(cfg: TsdfConfig):
+    return jnp.bfloat16 if cfg.storage_dtype == "bfloat16" else jnp.float32
+
+
 def make_map(cfg: TsdfConfig) -> MapState:
     s = cfg.table_slots
+    sd = storage_dtype(cfg)
     return MapState(
         table=vhash.make_table(s),
-        tsdf=jnp.ones((s, BLOCK_VOL), dtype=jnp.float32),
-        weight=jnp.zeros((s, BLOCK_VOL), dtype=jnp.float32),
+        tsdf=jnp.ones((s, BLOCK_VOL), dtype=sd),
+        weight=jnp.zeros((s, BLOCK_VOL), dtype=sd),
         color=jnp.zeros((s, BLOCK_VOL), dtype=jnp.int32),
         alloc_frame=jnp.zeros((s,), dtype=jnp.int32),
         last_seen=jnp.zeros((s,), dtype=jnp.int32),
@@ -365,8 +370,8 @@ def integrate(
         w_new = 1.0
     w_new = jnp.where(upd, w_new, 0.0)
 
-    old_t = m.tsdf[safe_slots]
-    old_w = m.weight[safe_slots]
+    old_t = m.tsdf[safe_slots].astype(jnp.float32)
+    old_w = m.weight[safe_slots].astype(jnp.float32)
 
     if sign > 0:
         new_w = jnp.minimum(old_w + w_new, cfg.max_weight)
@@ -379,8 +384,8 @@ def integrate(
 
     sidx = jnp.where(visible_mask, visible_slots, m.num_slots)
     out = m._replace(
-        tsdf=m.tsdf.at[sidx].set(new_t, mode="drop"),
-        weight=m.weight.at[sidx].set(new_w, mode="drop"),
+        tsdf=m.tsdf.at[sidx].set(new_t.astype(m.tsdf.dtype), mode="drop"),
+        weight=m.weight.at[sidx].set(new_w.astype(m.weight.dtype), mode="drop"),
     )
 
     if color_packed is not None and sign > 0:
@@ -426,16 +431,17 @@ def decay(
     age gate (DecayCatchup semantics, InfiniTamDriver.h:315-331)."""
     age = m.frame - m.alloc_frame
     eligible = m.table.valid & (force_all | (age >= min_decay_age))
+    wd = m.weight.dtype
     kill = eligible[:, None] & (m.weight <= max_decay_weight) & (m.weight > 0)
-    weight = jnp.where(kill, 0.0, m.weight)
-    tsdf = jnp.where(kill, 1.0, m.tsdf)
+    weight = jnp.where(kill, jnp.zeros((), wd), m.weight)
+    tsdf = jnp.where(kill, jnp.ones((), m.tsdf.dtype), m.tsdf)
     empty = eligible & jnp.all(weight <= 0.0, axis=-1)
     freed = jnp.sum(empty.astype(jnp.int32))
     table = vhash.free_mask(m.table, empty)
     return m._replace(
         table=table,
-        tsdf=jnp.where(empty[:, None], 1.0, tsdf),
-        weight=jnp.where(empty[:, None], 0.0, weight),
+        tsdf=jnp.where(empty[:, None], jnp.ones((), m.tsdf.dtype), tsdf),
+        weight=jnp.where(empty[:, None], jnp.zeros((), wd), weight),
         color=jnp.where(empty[:, None], 0, m.color),
         decayed_blocks=m.decayed_blocks + freed,
     )
@@ -454,8 +460,8 @@ def slide_window(m: MapState, max_age: int, by_last_seen: bool = False) -> MapSt
     table = vhash.free_mask(m.table, old)
     return m._replace(
         table=table,
-        tsdf=jnp.where(old[:, None], 1.0, m.tsdf),
-        weight=jnp.where(old[:, None], 0.0, m.weight),
+        tsdf=jnp.where(old[:, None], jnp.ones((), m.tsdf.dtype), m.tsdf),
+        weight=jnp.where(old[:, None], jnp.zeros((), m.weight.dtype), m.weight),
         color=jnp.where(old[:, None], 0, m.color),
     )
 
@@ -493,8 +499,8 @@ def sample_tsdf_xyz(m: MapState, px, py, pz, cfg: TsdfConfig):
     lidx = (lx + ly * BLOCK + lz * BLOCK * BLOCK).reshape(-1)
     safe = jnp.where(slots >= 0, slots, 0)
     flat_idx = safe * BLOCK_VOL + lidx
-    sdf = m.tsdf.reshape(-1)[flat_idx]
-    wgt = m.weight.reshape(-1)[flat_idx]
+    sdf = m.tsdf.reshape(-1)[flat_idx].astype(jnp.float32)
+    wgt = m.weight.reshape(-1)[flat_idx].astype(jnp.float32)
     sdf = jnp.where(slots >= 0, sdf, 1.0).reshape(shape)
     wgt = jnp.where(slots >= 0, wgt, 0.0).reshape(shape)
     return sdf, wgt

@@ -191,3 +191,55 @@ def test_alloc_subsample_equivalent():
     # pixel's truncation band); those carry ~zero weight and are allocated
     # by subsequent frames. Bound the miss rate.
     assert len(s1 - s2) <= 0.08 * len(s1), (len(s1), len(s2))
+
+
+def test_bf16_storage_matches_f32_within_quantisation(frame):
+    """storage_dtype=bfloat16 halves pool traffic; fused TSDF must agree
+    with f32 within bf16 quantisation (~1/256 relative)."""
+    import dataclasses
+    cfg, T, depth, color = frame
+    m32 = tsdf_ops.make_map(cfg.tsdf)
+    m32, slots, mask = tsdf_ops.allocate_for_frame(m32, depth, T, cfg.rig.intr, cfg.tsdf)
+    m32 = tsdf_ops.integrate(m32, slots, mask, depth, color, T, cfg.rig.intr, cfg.tsdf)
+
+    t16 = dataclasses.replace(cfg.tsdf, storage_dtype="bfloat16")
+    m16 = tsdf_ops.make_map(t16)
+    m16, slots, mask = tsdf_ops.allocate_for_frame(m16, depth, T, cfg.rig.intr, t16)
+    m16 = tsdf_ops.integrate(m16, slots, mask, depth, color, T, cfg.rig.intr, t16)
+    assert m16.tsdf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(m16.tsdf, np.float32), np.asarray(m32.tsdf), atol=1/128)
+    np.testing.assert_allclose(
+        np.asarray(m16.weight, np.float32), np.asarray(m32.weight), atol=1e-6)
+    # decay + slide-window preserve the dtype
+    m16 = tsdf_ops.decay(m16, 2.0, 0, force_all=True)
+    m16 = tsdf_ops.slide_window(m16, 1)
+    assert m16.tsdf.dtype == jnp.bfloat16
+    assert m16.weight.dtype == jnp.bfloat16
+
+
+def test_bf16_pipeline_and_checkpoint(tmp_path):
+    """End-to-end frames + checkpoint round-trip with bf16 map storage."""
+    import dataclasses
+    from denseslam_tpu.config import tiny_test_config
+    from denseslam_tpu.io.checkpoint import (load_slam_checkpoint,
+                                             save_slam_checkpoint)
+    from denseslam_tpu.models.dense_slam import DenseSLAM
+
+    cfg = tiny_test_config(width=160, height=120, baseline_m=0.3)
+    cfg = dataclasses.replace(
+        cfg, tsdf=dataclasses.replace(cfg.tsdf, storage_dtype="bfloat16"))
+    slam = DenseSLAM(cfg)
+    poses = synthetic.make_trajectory(4, step_m=0.06, yaw_rate=0.004)
+    for i in range(4):
+        l, r, d = synthetic.render_stereo(jnp.asarray(poses[i]), cfg.rig)
+        out = slam.process_frame(l, r, depth=d)
+    assert out["tracking_ok"] and out["num_blocks"] > 20
+    p = str(tmp_path / "ck.npz")
+    save_slam_checkpoint(p, slam)
+    slam2 = DenseSLAM(cfg)
+    load_slam_checkpoint(p, slam2)
+    assert slam2.submaps.active.tsdf.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(slam2.submaps.active.tsdf, np.float32),
+        np.asarray(slam.submaps.active.tsdf, np.float32))
