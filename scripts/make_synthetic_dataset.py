@@ -28,6 +28,10 @@ def main():
     args = ap.parse_args()
 
     import cv2
+    import jax
+    # fixture generation is tiny — always render on CPU so this works
+    # without a TPU (and doesn't queue behind the remote compile service)
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
