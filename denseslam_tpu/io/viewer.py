@@ -53,6 +53,25 @@ def colorize_depth(depth_m: np.ndarray, max_depth: float = 30.0) -> np.ndarray:
     return img.astype(np.uint8)
 
 
+def draw_features(img: np.ndarray, uv: np.ndarray,
+                  valid: np.ndarray) -> np.ndarray:
+    """Input image with detected-feature overlay — the reference's
+    FrameDrawer pane (ORB features drawn over the RGB input,
+    DenseSLAMGUI.cpp:216-220). Marks in the dashboard's series green."""
+    import cv2
+
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    out = np.clip(img, 0, 255).astype(np.uint8).copy()
+    color = (112, 158, 25)  # #199e70 in BGR
+    for (u, v), ok in zip(np.asarray(uv), np.asarray(valid)):
+        if ok:
+            cv2.circle(out, (int(round(u)), int(round(v))), 2, color, 1,
+                       lineType=cv2.LINE_AA)
+    return out
+
+
 class LiveViewer:
     """Thread-safe pane/stat store + HTTP server (daemon thread)."""
 

@@ -187,7 +187,14 @@ def main(argv=None) -> int:
             from .io.viewer import colorize_depth
             panes = {}
             if n % max(args.viewer_every, 1) == 0:
-                panes["input_rgb"] = np.asarray(left).astype(np.uint8)
+                from .io.viewer import draw_features
+                fs = getattr(slam, "fe_state", None)
+                if fs is not None and fs.feats_l is not None:
+                    panes["input_rgb"] = draw_features(
+                        np.asarray(left), np.asarray(fs.feats_l.uv),
+                        np.asarray(fs.feats_l.valid))
+                else:
+                    panes["input_rgb"] = np.asarray(left).astype(np.uint8)
                 if depth is not None:
                     panes["input_depth"] = colorize_depth(
                         np.asarray(depth), cfg.tsdf.max_depth_m)
