@@ -205,6 +205,9 @@ class ShardedTsdf:
                 fuse, mesh=mesh,
                 in_specs=(mspec, P(), P(), P()),
                 out_specs=mspec,
+                # vma checking can't see through pallas_call (the tile
+                # sampler); correctness is covered by the equivalence tests
+                check_vma=False,
             )
         )
         rc = functools.partial(

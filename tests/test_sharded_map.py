@@ -181,3 +181,24 @@ def test_launch_single_process_noop():
     mesh = launch.global_map_mesh()
     assert mesh.devices.size == len(jax.devices())
     assert launch.is_coordinator()
+
+
+def test_sharded_fusion_pallas_sampler(setup):
+    """The pallas tile-sampler composes with shard_map fusion: each shard
+    runs its own kernel over its owned blocks and matches the gather-path
+    sharded result exactly."""
+    cfg, mesh, st = setup
+    cfg_p = dataclasses.replace(
+        cfg, tsdf=dataclasses.replace(cfg.tsdf, sampler="pallas"))
+    st_p = sm.ShardedTsdf(cfg_p, mesh)
+    m_g = st.make_map()
+    m_p = st_p.make_map()
+    poses = synthetic.make_trajectory(2, step_m=0.06, yaw_rate=0.0)
+    for i in range(2):
+        T = jnp.asarray(poses[i])
+        gray, depth = synthetic.render_view(T, cfg.rig.intr)
+        m_g = st.fuse(m_g, depth, gray, T)
+        m_p = st_p.fuse(m_p, depth, gray, T)
+    assert st.num_blocks(m_g) == st_p.num_blocks(m_p)
+    np.testing.assert_array_equal(np.asarray(m_g.weight), np.asarray(m_p.weight))
+    np.testing.assert_array_equal(np.asarray(m_g.tsdf), np.asarray(m_p.tsdf))
