@@ -114,7 +114,10 @@ def build_config(args, rig):
             args.online_correction, args.correction_num,
             args.start_correction_num),
         postprocess=PostProcessParams(enabled=args.depth_postprocess),
-        pipeline=PipelineConfig(keyframe_every=args.keyframe_every),
+        pipeline=PipelineConfig(
+            keyframe_every=args.keyframe_every,
+            sensor={"monocular": "mono"}.get(args.sensor, args.sensor),
+        ),
     )
 
 

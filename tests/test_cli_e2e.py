@@ -240,3 +240,21 @@ def test_cli_live_viewer_flag(kitti_dir, tmp_path):
     assert len(st["trajectory"]) == 6
     for pane in ("input_rgb", "input_depth", "raycast", "raycast_depth"):
         assert captured["panes"][pane][:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_monocular_sensor(kitti_dir, tmp_path):
+    """--sensor monocular routes through mono VO (regression: the flag was
+    parsed but not wired into PipelineConfig)."""
+    from denseslam_tpu.io.trajectory import load_tum
+    from denseslam_tpu.main import main
+
+    root, poses = kitti_dir
+    rc = main([
+        "--dataset_root", root,
+        "--sensor", "monocular",
+        "--table_slots_log2", "13", "--max_visible_log2", "11",
+        "--voxel_size", "0.05", "--max_depth", "10",
+        "--save_trajectory", str(tmp_path / "mono.txt"), "--quiet",
+    ])
+    assert rc == 0
+    assert len(load_tum(str(tmp_path / "mono.txt"))) == 6
