@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run local BA + loop closing (SLAMSystem)")
     p.add_argument("--keyframe_every", type=int, default=1,
                    help="fuse every k-th frame (lowfreq_exp)")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="throughput mode: batch N frames per device program "
+                        "(process_chunk; implies --enable_backend, stereo "
+                        "sensor, on-device SGM depth). Raycast dumps and "
+                        "telemetry drop to chunk rate.")
     # outputs
     p.add_argument("--save_trajectory", default=None)
     p.add_argument("--save_kitti_trajectory", default=None)
@@ -142,7 +147,9 @@ def main(argv=None) -> int:
     )
     cfg = build_config(args, inp.rig)
 
-    if args.enable_backend:
+    if args.chunk and cfg.pipeline.sensor != "stereo":
+        raise SystemExit("--chunk requires the stereo sensor")
+    if args.enable_backend or args.chunk:
         system = SLAMSystem(cfg)
         slam = system.slam
     else:
@@ -165,6 +172,44 @@ def main(argv=None) -> int:
     mem_log = open(args.save_memory_log, "w") if args.save_memory_log else None
     t_start = time.time()
     n = 0
+
+    if args.chunk:
+        # Throughput mode: frames flow through the batched process_sequence
+        # scan (ONE device program per chunk; the per-frame host loop costs
+        # ~3x at KITTI scale on this runtime). Telemetry is chunk-rate.
+        def to_gray(img):
+            a = np.asarray(img, np.float32)
+            if a.ndim == 3:
+                a = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+            return a
+
+        batch_l, batch_r = [], []
+        out = None
+        for frame in inp:
+            if frame["right"] is None:
+                raise SystemExit("--chunk needs stereo input")
+            batch_l.append(to_gray(frame["left"]))
+            batch_r.append(to_gray(frame["right"]))
+            if len(batch_l) == args.chunk:
+                out = system.process_chunk(
+                    jnp.asarray(np.stack(batch_l)),
+                    jnp.asarray(np.stack(batch_r)))
+                batch_l, batch_r = [], []
+                n += args.chunk
+                if mem_log:
+                    mb = slam.memory_bytes() / 100e6
+                    mem_log.write(f"{mb:.6f}\n" * args.chunk)
+                if not args.quiet:
+                    fps = n / (time.time() - t_start)
+                    print(f"frame {n}: {fps:.2f} FPS (chunked), "
+                          f"tracking={'OK' if out['tracking_ok'] else 'LOST'}")
+        for l, r in zip(batch_l, batch_r):      # tail, per-frame
+            out = system.process_frame(jnp.asarray(l), jnp.asarray(r))
+            n += 1
+            if mem_log:
+                mem_log.write(f"{out['memory_bytes'] / 100e6:.6f}\n")
+        inp = ()                                 # skip the per-frame loop
+
     for frame in inp:
         left = jnp.asarray(frame["left"])
         right = jnp.asarray(frame["right"]) if frame["right"] is not None else None

@@ -258,3 +258,24 @@ def test_cli_monocular_sensor(kitti_dir, tmp_path):
     ])
     assert rc == 0
     assert len(load_tum(str(tmp_path / "mono.txt"))) == 6
+
+
+def test_cli_chunked_throughput(kitti_dir, tmp_path):
+    """--chunk N drives the batched process_chunk scan end-to-end, with a
+    per-frame tail, and still writes trajectory + memory log."""
+    from denseslam_tpu.io.trajectory import load_tum
+    from denseslam_tpu.main import main
+
+    root, poses = kitti_dir
+    rc = main([
+        "--dataset_root", root,
+        "--chunk", "4",
+        "--table_slots_log2", "13", "--max_visible_log2", "11",
+        "--voxel_size", "0.05", "--max_depth", "10",
+        "--save_trajectory", str(tmp_path / "t.txt"),
+        "--save_memory_log", str(tmp_path / "mem.txt"),
+        "--metrics_json", str(tmp_path / "m.json"), "--quiet",
+    ])
+    assert rc == 0
+    assert len(load_tum(str(tmp_path / "t.txt"))) == 6   # 4 chunked + 2 tail
+    assert len(open(tmp_path / "mem.txt").read().splitlines()) == 6
