@@ -27,7 +27,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sampler", default="gather",
+                    choices=["gather", "pallas"])
+    ap.add_argument("--storage", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--no_color", action="store_true")
+    args = ap.parse_args(argv)
+
     from denseslam_tpu.config import (
         SlideWindowParams,
         SystemConfig,
@@ -63,6 +72,9 @@ def main() -> None:
         max_depth_m=50.0,
         raycast_steps=192,
         alloc_subsample=2,
+        sampler=args.sampler,
+        storage_dtype=args.storage,
+        fuse_color=not args.no_color,
     )
     cfg = SystemConfig(
         rig=rig,

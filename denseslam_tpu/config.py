@@ -208,6 +208,10 @@ class PipelineConfig:
     # the TPU-native fast path) or "march" (bounded sphere tracing —
     # reference-exact but ~100x slower on this hardware).
     renderer: str = "splat"
+    # Sub-voxel refinement steps after splat (ops/splat.py refine_depth):
+    # each step is a sphere-tracing correction from trilinear TSDF samples
+    # (~30 ms/step at KITTI res). 0 = raw splat estimate.
+    splat_refine: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -434,9 +434,42 @@ class DenseSLAM:
                 z_bits=cfg.splat.z_bits,
                 fill_levels=cfg.splat.fill_levels,
             )
-            self._raycast = jax.jit(functools.partial(
-                splat_ops.splat_render, intr=cfg.rig.intr, cfg=cfg.tsdf,
-                sc=sc))
+            refine = cfg.pipeline.splat_refine
+
+            def _splat(m, T_wc):
+                rc = splat_ops.splat_render(m, T_wc, cfg.rig.intr, cfg.tsdf,
+                                            sc)
+                if refine > 0:
+                    d = splat_ops.refine_depth(
+                        m, rc.depth, rc.mask, T_wc, cfg.rig.intr, cfg.tsdf,
+                        steps=refine)
+                    rc = _regeom(rc, d, T_wc)
+                return rc
+
+            def _regeom(rc, depth, T_wc):
+                # recompute points/normals from the refined depth image
+                h, w = depth.shape
+                vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+                uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+                cx = (uu - cfg.rig.intr.cx) / cfg.rig.intr.fx * depth
+                cy = (vv - cfg.rig.intr.cy) / cfg.rig.intr.fy * depth
+                R = T_wc[:3, :3]
+                t = T_wc[:3, 3]
+                px = R[0, 0] * cx + R[0, 1] * cy + R[0, 2] * depth + t[0]
+                py = R[1, 0] * cx + R[1, 1] * cy + R[1, 2] * depth + t[1]
+                pz = R[2, 0] * cx + R[2, 1] * cy + R[2, 2] * depth + t[2]
+                z0 = jnp.zeros_like(px)
+                px = jnp.where(rc.mask, px, z0)
+                py = jnp.where(rc.mask, py, z0)
+                pz = jnp.where(rc.mask, pz, z0)
+                nx, ny, nz, _ = rc_ops._normals_soA(px, py, pz, rc.mask)
+                return rc._replace(
+                    depth=depth,
+                    points=jnp.stack([px, py, pz], axis=-1),
+                    normals=jnp.stack([nx, ny, nz], axis=-1),
+                )
+
+            self._raycast = jax.jit(_splat)
         else:
             self._raycast = jax.jit(
                 functools.partial(rc_ops.raycast, intr=cfg.rig.intr,

@@ -219,3 +219,40 @@ def splat_render(
         mask=hit,
         color=jnp.stack([cr, cg, cb], axis=-1),
     )
+
+
+def refine_depth(
+    m: tsdf_ops.MapState,
+    depth: jax.Array,          # (H, W) splat depth, 0 = miss
+    mask: jax.Array,           # (H, W) hit mask
+    T_wc: jax.Array,
+    intr: Intrinsics,
+    cfg: TsdfConfig,
+    steps: int = 2,
+):
+    """Sub-voxel depth refinement: sphere-tracing correction steps from the
+    splat estimate using trilinear TSDF samples (the reference raycaster's
+    final refinement, ITM sphere tracing tail). The splat depth is within
+    ~half a voxel of the zero crossing, so 1-2 Newton-style steps
+    (d += sdf * mu along the ray) converge; cost is 8 pool lookups per
+    hit pixel per step — use via `PipelineConfig.splat_refine` when ICP /
+    depth-eval accuracy matters more than the ~30 ms/step at KITTI res."""
+    h, w = depth.shape
+    mu = cfg.trunc_dist_m
+    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    dirx_c = (uu - intr.cx) / intr.fx
+    diry_c = (vv - intr.cy) / intr.fy
+    R = T_wc[:3, :3]
+    t = T_wc[:3, 3]
+    d = depth
+    for _ in range(steps):
+        cx = dirx_c * d
+        cy = diry_c * d
+        px = R[0, 0] * cx + R[0, 1] * cy + R[0, 2] * d + t[0]
+        py = R[1, 0] * cx + R[1, 1] * cy + R[1, 2] * d + t[1]
+        pz = R[2, 0] * cx + R[2, 1] * cy + R[2, 2] * d + t[2]
+        sdf, wmin = tsdf_ops.sample_tsdf_trilinear_xyz(m, px, py, pz, cfg)
+        ok = mask & (wmin > 0) & (jnp.abs(sdf) < 1.0)
+        d = jnp.where(ok, jnp.maximum(d + sdf * mu, cfg.min_depth_m), d)
+    return jnp.where(mask, d, 0.0)

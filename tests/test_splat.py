@@ -90,3 +90,46 @@ def test_splat_respects_pose():
     c = both[hh // 3: 2 * hh // 3, ww // 3: 2 * ww // 3]
     dd = (d1 - d0)[hh // 3: 2 * hh // 3, ww // 3: 2 * ww // 3][c]
     assert abs(np.median(dd) - 0.5) < 0.1, np.median(dd)
+
+
+def test_splat_refine_improves_depth():
+    """refine_depth sphere-tracing steps shrink median error vs GT depth."""
+    cfg = tiny_test_config(width=160, height=120)
+    m, T, depth_gt = _fused_map(cfg)
+    sc = splat_ops.SplatConfig(max_blocks=1024, max_voxels=1 << 16)
+    rc = jax.jit(lambda m, T: splat_ops.splat_render(
+        m, T, cfg.rig.intr, cfg.tsdf, sc))(m, T)
+    d_ref = jax.jit(lambda m, d, k, T: splat_ops.refine_depth(
+        m, d, k, T, cfg.rig.intr, cfg.tsdf, steps=2))(
+        m, rc.depth, rc.mask, T)
+    gt = np.asarray(depth_gt)
+    d0 = np.asarray(rc.depth)
+    d1 = np.asarray(d_ref)
+    both = (d0 > 0) & (gt > 0) & (d1 > 0)
+    e0 = np.median(np.abs(d0[both] - gt[both]))
+    e1 = np.median(np.abs(d1[both] - gt[both]))
+    assert e1 < e0 * 0.8, (e0, e1)
+    assert e1 < 0.5 * cfg.tsdf.voxel_size_m, e1
+
+
+def test_pipeline_splat_refine_flag():
+    """PipelineConfig.splat_refine wires refinement into raycast_view."""
+    from denseslam_tpu.models.dense_slam import DenseSLAM
+    cfg = tiny_test_config(width=160, height=120)
+    cfg_r = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, splat_refine=2))
+    poses = synthetic.make_trajectory(3, step_m=0.05, yaw_rate=0.0)
+    outs = {}
+    for key, c in (("raw", cfg), ("refined", cfg_r)):
+        slam = DenseSLAM(c)
+        for i in range(3):
+            l, r, d = synthetic.render_stereo(jnp.asarray(poses[i]), c.rig)
+            slam.process_frame(l, r, depth=d)
+        rc = slam.raycast_view()
+        _, _, d_gt = synthetic.render_stereo(
+            jnp.asarray(slam.pose_history[-1][1]), c.rig)
+        gt = np.asarray(d_gt)
+        dd = np.asarray(rc.depth)
+        both = (dd > 0) & (gt > 0)
+        outs[key] = np.median(np.abs(dd[both] - gt[both]))
+    assert outs["refined"] <= outs["raw"] + 1e-6, outs
