@@ -370,6 +370,12 @@ class SubmapManager:
     def is_on_host(self, idx: int) -> bool:
         return isinstance(self.maps[idx].tsdf, np.ndarray)
 
+    @property
+    def num_active_local_maps(self) -> int:
+        """Device-resident submap count (reference:
+        ITMActiveMapManager::numActiveLocalMaps, InfiniTamDriver.h:263-265)."""
+        return sum(1 for i in range(len(self.maps)) if not self.is_on_host(i))
+
     def local_map_size(self, idx: int) -> int:
         return int(tsdf_ops.num_allocated_blocks(self.maps[idx]))
 
