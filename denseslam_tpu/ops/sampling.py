@@ -71,9 +71,14 @@ def _kernel(orig_ref, tuv_ref, img_ref, out_ref, tiles, sems):
         slot = b % NBUF
         get_dma(slot, b).wait()
         raw = tiles[slot]                                   # (TH, TW) i32
-        td = jnp.right_shift(raw, 8).astype(jnp.float32)    # depth mm <2^16
-        tg = (raw & 0xFF).astype(jnp.float32)               # gray <2^8
-        cat = jnp.concatenate([td, tg], axis=1)             # (TH, 2*TW)
+        # Split the packed 24-bit value into <2^8 planes: integers < 256
+        # are exact in bf16, so the one-hot row-select matmul is exact on
+        # the MXU at ANY precision (each output has exactly one nonzero
+        # product; f32 accumulation of exact products is exact).
+        t_hi = jnp.right_shift(raw, 16).astype(jnp.float32)   # d_mm >> 8
+        t_mid = (jnp.right_shift(raw, 8) & 0xFF).astype(jnp.float32)
+        t_lo = (raw & 0xFF).astype(jnp.float32)               # gray
+        cat = jnp.concatenate([t_hi, t_mid, t_lo], axis=1)    # (TH, 3*TW)
 
         tuv = tuv_ref[b, :]                                 # (512,)
         tu = tuv & 0xFFFF
@@ -82,13 +87,13 @@ def _kernel(orig_ref, tuv_ref, img_ref, out_ref, tiles, sems):
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
         onehot = (rows_i == tv[:, None]).astype(jnp.float32)
         rows = jax.lax.dot(onehot, cat,
-                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
         cmask = (cols_i == tu[:, None]).astype(jnp.float32)
-        d = jnp.sum(rows[:, :TILE_W] * cmask, axis=1)       # exact int mm
-        g = jnp.sum(rows[:, TILE_W:] * cmask, axis=1)
-        packed = (d * 256.0 + g)                            # < 2^24: exact f32
+        hi = jnp.sum(rows[:, :TILE_W] * cmask, axis=1)
+        mid = jnp.sum(rows[:, TILE_W:2 * TILE_W] * cmask, axis=1)
+        lo = jnp.sum(rows[:, 2 * TILE_W:] * cmask, axis=1)
+        packed = hi * 65536.0 + mid * 256.0 + lo            # < 2^24: exact f32
         out_ref[b, :] = jnp.where(inb, packed, 0.0).astype(jnp.int32)
 
         nxt = b + NBUF
