@@ -128,6 +128,12 @@ class FrontendConfig:
     max_per_bucket: int = 4
     match_radius_px: float = 100.0    # spatial gate for matching
     stereo_band_px: float = 3.0       # epipolar band for L/R matching
+    # Motion-prior (warm-start) matching: gate temporal matches around the
+    # previous features' positions PREDICTED by the last inter-frame motion
+    # + per-feature stereo depth (reference: Tr_delta-guided search,
+    # viso_stereo.cpp:53-57 / matcher computePriorStatistics stage 2).
+    use_motion_prior_gate: bool = True
+    predictive_gate_px: float = 24.0
     # Neighbourhood flow-consensus outlier removal — the TPU analogue of
     # the reference's Delaunay-neighbourhood match filter
     # (reference: src/libviso2/src/matcher.cpp:1212-1382; tolerances mirror

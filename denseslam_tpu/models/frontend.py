@@ -26,9 +26,13 @@ from ..utils import lie
 class FrontendState(NamedTuple):
     feats_l: feat_ops.Features   # previous-frame left features
     feats_r: feat_ops.Features   # previous-frame right features
+    disp_l: jax.Array            # (N,) prev-left stereo disparity, -1 invalid
+    disp_r: jax.Array            # (N,) prev-right disparity, -1 invalid
     T_wc: jax.Array              # current camera-to-world estimate
     T_delta_prev: jax.Array      # last inter-frame motion (warm start / fallback)
     initialized: jax.Array       # bool — has a previous frame
+    prior_ok: jax.Array          # bool — last RANSAC succeeded (trust the
+                                 # constant-velocity prior for gating)
     key: jax.Array               # PRNG key for RANSAC sampling
     frame: jax.Array             # i32 frame counter
 
@@ -55,12 +59,16 @@ def _empty_features(cfg: SystemConfig) -> feat_ops.Features:
 def init_frontend(cfg: SystemConfig, T_init: jax.Array | None = None,
                   seed: int = 0) -> FrontendState:
     eye = jnp.eye(4, dtype=jnp.float32)
+    n = cfg.frontend.max_features
     return FrontendState(
         feats_l=_empty_features(cfg),
         feats_r=_empty_features(cfg),
+        disp_l=jnp.full((n,), -1.0),
+        disp_r=jnp.full((n,), -1.0),
         T_wc=eye if T_init is None else T_init,
         T_delta_prev=eye,
         initialized=jnp.zeros((), bool),
+        prior_ok=jnp.zeros((), bool),
         key=jax.random.PRNGKey(seed),
         frame=jnp.zeros((), jnp.int32),
     )
@@ -78,8 +86,23 @@ def vo_step(
     f_rc = feat_ops.detect(right, fc)
     f_lc = feat_ops.bucket(f_lc, cfg.rig.intr.width, cfg.rig.intr.height, fc)
 
-    q = matching.quad_match(f_lc, f_rc, state.feats_l, state.feats_r, fc)
+    if fc.use_motion_prior_gate:
+        # Warm-start matching: gate around positions predicted by the last
+        # motion (constant-velocity prior) + per-feature stereo depth.
+        # The tight predictive gate only applies while the prior is TRUSTED
+        # (last RANSAC succeeded); otherwise disparities are masked out and
+        # every feature falls back to the wide gate — a wrong-but-trusted
+        # prior after sudden motion onset must not lock tracking out.
+        trusted = state.initialized & state.prior_ok
+        q = matching.quad_match(
+            f_lc, f_rc, state.feats_l, state.feats_r, fc,
+            disp_lp=jnp.where(trusted, state.disp_l, -1.0),
+            disp_rp=jnp.where(trusted, state.disp_r, -1.0),
+            T_pred=state.T_delta_prev, rig=cfg.rig)
+    else:
+        q = matching.quad_match(f_lc, f_rc, state.feats_l, state.feats_r, fc)
     q = matching.remove_outliers(q, fc)
+    disp_lc, disp_rc = matching.stereo_disparities(f_lc, f_rc, fc)
     key, sub = jax.random.split(state.key)
     res = ransac.estimate_stereo_motion(q, cfg.rig, fc, sub,
                                         T_init=state.T_delta_prev)
@@ -94,9 +117,12 @@ def vo_step(
     new_state = FrontendState(
         feats_l=f_lc,
         feats_r=f_rc,
+        disp_l=disp_lc,
+        disp_r=disp_rc,
         T_wc=T_wc,
         T_delta_prev=T_delta,
         initialized=jnp.ones((), bool),
+        prior_ok=use_est,
         key=key,
         frame=state.frame + 1,
     )
@@ -156,9 +182,12 @@ def mono_vo_step(
     new_state = FrontendState(
         feats_l=f_lc,
         feats_r=state.feats_r,
+        disp_l=state.disp_l,    # mono: no stereo disparity
+        disp_r=state.disp_r,
         T_wc=T_wc,
         T_delta_prev=T_delta,
         initialized=jnp.ones((), bool),
+        prior_ok=use_est,
         key=key,
         frame=state.frame + 1,
     )

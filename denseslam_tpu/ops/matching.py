@@ -183,10 +183,85 @@ def match_stereo(a: Features, b: Features, cfg: FrontendConfig) -> jax.Array:
     return mutual_nn(cost)
 
 
-def match_temporal(a: Features, b: Features, cfg: FrontendConfig) -> jax.Array:
-    """Curr->prev matches within the motion gate; returns (Na,) idx/-1."""
-    cost = _gated_cost(a, b, max_du=cfg.match_radius_px, max_dv=cfg.match_radius_px)
-    return mutual_nn(cost)
+def stereo_disparities(a: Features, b: Features, cfg: FrontendConfig):
+    """Per-feature disparity from the left<->right mutual match.
+
+    Returns (disp_a, disp_b): disparity aligned to each feature array,
+    -1 where unmatched — the per-feature depth the motion-prior gate needs
+    (the reference keeps it as the quad's u1p-u2p, viso_stereo.cpp:99-105)."""
+    m = match_stereo(a, b, cfg)
+    ok = m >= 0
+    du = a.uv[:, 0] - b.uv[jnp.maximum(m, 0), 0]
+    disp_a = jnp.where(ok & (du > 0), du, -1.0)
+    nb = b.uv.shape[0]
+    tgt = jnp.where(ok & (du > 0), m, nb)
+    disp_b = jnp.full((nb + 1,), -1.0).at[tgt].set(
+        jnp.where(ok & (du > 0), du, -1.0), mode="drop")[:nb]
+    return disp_a, disp_b
+
+
+def predict_uv(
+    uv: jax.Array,        # (N, 2) feature positions in the PREVIOUS frame
+    disp: jax.Array,      # (N,) stereo disparity (px), -1 invalid
+    T_pred: jax.Array,    # (4, 4) prev-cam -> curr-cam motion prior
+    fx: float, fy: float, cx: float, cy: float, baseline_m: float,
+    right: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Project previous features into the current frame under a motion
+    prior (the reference's Tr_delta warm start guiding the matcher's search
+    windows, viso_stereo.cpp:53-57 + matcher stage-2 statistics). Returns
+    (uv_pred (N, 2), ok (N,))."""
+    ok = disp > 0.5
+    d = jnp.maximum(disp, 0.5)
+    z = fx * baseline_m / d
+    x = (uv[:, 0] - cx) / fx * z
+    y = (uv[:, 1] - cy) / fy * z
+    if right:
+        x = x + baseline_m           # right-cam point -> left-cam frame
+    R = T_pred[:3, :3]
+    t = T_pred[:3, 3]
+    px = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + t[0]
+    py = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + t[1]
+    pz = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + t[2]
+    if right:
+        px = px - baseline_m         # back to right-cam frame
+    ok = ok & (pz > 0.1)
+    zs = jnp.maximum(pz, 0.1)
+    up = px / zs * fx + cx
+    vp = py / zs * fy + cy
+    return jnp.stack([up, vp], axis=-1), ok
+
+
+def match_temporal(
+    a: Features, b: Features, cfg: FrontendConfig,
+    uv_pred_b: jax.Array | None = None,
+    pred_ok_b: jax.Array | None = None,
+) -> jax.Array:
+    """Curr->prev matches within the motion gate; returns (Na,) idx/-1.
+
+    With a motion prior (uv_pred_b = b's predicted current-frame
+    positions), admissible pairs are the UNION of the wide gate and a
+    tight predictive_gate_px window around each prediction — the prior
+    EXTENDS the search beyond the wide gate under large motion, and a bad
+    prediction (wrong disparity) costs nothing because the wide gate still
+    applies (the reference likewise falls back to full-range search when
+    stage-2 statistics are unavailable, matcher.cpp:738-874)."""
+    cost = _pair_cost(a, b)
+    base_ok = (
+        a.valid[:, None] & b.valid[None, :]
+        & (a.cls[:, None] == b.cls[None, :])
+    )
+    du = a.uv[:, 0][:, None] - b.uv[:, 0][None, :]
+    dv = a.uv[:, 1][:, None] - b.uv[:, 1][None, :]
+    ok = base_ok & (jnp.abs(du) <= cfg.match_radius_px) \
+        & (jnp.abs(dv) <= cfg.match_radius_px)
+    if uv_pred_b is not None:
+        dup = a.uv[:, 0][:, None] - uv_pred_b[:, 0][None, :]
+        dvp = a.uv[:, 1][:, None] - uv_pred_b[:, 1][None, :]
+        g = cfg.predictive_gate_px
+        near = (jnp.abs(dup) <= g) & (jnp.abs(dvp) <= g)
+        ok = ok | (base_ok & pred_ok_b[None, :] & near)
+    return mutual_nn(jnp.where(ok, cost, _INF))
 
 
 def quad_match(
@@ -195,21 +270,38 @@ def quad_match(
     left_prev: Features,
     right_prev: Features,
     cfg: FrontendConfig,
+    disp_lp: jax.Array | None = None,   # (N,) prev-left disparity, -1 invalid
+    disp_rp: jax.Array | None = None,   # (N,) prev-right disparity
+    T_pred: jax.Array | None = None,    # prev-cam -> curr-cam motion prior
+    rig=None,
 ) -> QuadMatches:
     """Circular consistency: lc -> rc -> rp -> lp -> lc must close.
 
     (The reference walks lp -> rp -> rc -> lc, matcher.cpp:895-970; direction
-    is immaterial.)"""
+    is immaterial.) With (disp_lp, disp_rp, T_pred, rig) the temporal legs
+    gate around motion-prior predictions (warm-start matching)."""
     n = left_curr.uv.shape[0]
     i_lc = jnp.arange(n, dtype=jnp.int32)
 
+    pred_lp = pred_rp = ok_lp = ok_rp = None
+    if T_pred is not None and disp_lp is not None and rig is not None:
+        intr = rig.intr
+        pred_lp, ok_lp = predict_uv(
+            left_prev.uv, disp_lp, T_pred, intr.fx, intr.fy, intr.cx,
+            intr.cy, rig.baseline_m, right=False)
+        pred_rp, ok_rp = predict_uv(
+            right_prev.uv, disp_rp, T_pred, intr.fx, intr.fy, intr.cx,
+            intr.cy, rig.baseline_m, right=True)
+
     m_lc_rc = match_stereo(left_curr, right_curr, cfg)          # lc -> rc
-    m_rc_rp = match_temporal(right_curr, right_prev, cfg)       # rc -> rp
+    m_rc_rp = match_temporal(right_curr, right_prev, cfg,
+                             pred_rp, ok_rp)                    # rc -> rp
     m_rp_lp = mutual_nn(
         _gated_cost(right_prev, left_prev, max_du=256.0,
                     max_dv=cfg.stereo_band_px, du_range=(-256.0, 0.0))
     )                                                            # rp -> lp
-    m_lc_lp = match_temporal(left_curr, left_prev, cfg)         # lc -> lp (check)
+    m_lc_lp = match_temporal(left_curr, left_prev, cfg,
+                             pred_lp, ok_lp)                    # lc -> lp (check)
 
     i_rc = m_lc_rc
     i_rp = jnp.where(i_rc >= 0, m_rc_rp[jnp.maximum(i_rc, 0)], -1)

@@ -180,3 +180,65 @@ def test_remove_outliers_improves_vo_with_corrupted_quads(stereo_frames):
     res = ransac.estimate_stereo_motion(
         qf, cfg.rig, cfg.frontend, jax.random.PRNGKey(3))
     assert bool(res.ok)
+
+
+def test_predict_uv_analytic():
+    """Motion-prior projection matches a hand-computed transform."""
+    from denseslam_tpu.utils.camera import Intrinsics
+    intr = Intrinsics(fx=100.0, fy=100.0, cx=80.0, cy=60.0, width=160,
+                      height=120)
+    B = 0.5
+    uv = jnp.asarray([[80.0, 60.0], [100.0, 60.0]])
+    disp = jnp.asarray([10.0, -1.0])          # second has no disparity
+    # pure forward motion 1 m: prev-cam point (0,0,5) -> (0,0,4)
+    T = jnp.eye(4).at[2, 3].set(-1.0)
+    pred, ok = matching.predict_uv(uv, disp, T, intr.fx, intr.fy, intr.cx,
+                                   intr.cy, B)
+    assert bool(ok[0]) and not bool(ok[1])
+    # center ray stays centered under forward motion
+    np.testing.assert_allclose(np.asarray(pred[0]), [80.0, 60.0], atol=1e-4)
+    # off-center point: prev (u=100, d=10) -> Z=5, X=(100-80)/100*5=1
+    # after dz=-1: Z=4 -> u = 1/4*100+80 = 105
+    pred2, ok2 = matching.predict_uv(
+        jnp.asarray([[100.0, 60.0]]), jnp.asarray([10.0]), T,
+        intr.fx, intr.fy, intr.cx, intr.cy, B)
+    np.testing.assert_allclose(np.asarray(pred2[0]), [105.0, 60.0], atol=1e-4)
+
+
+def test_motion_prior_gate_tracks_accelerating_rotation():
+    """A yaw rate that RAMPS past the wide match gate stays trackable only
+    with the predictive gate (reference Tr_delta warm start): the prior
+    locks on while flow is small and extrapolates through the ramp."""
+    import dataclasses
+
+    from denseslam_tpu.models import frontend as fe
+    from denseslam_tpu.utils import lie as lie_np
+
+    base = tiny_test_config(width=320, height=240)
+    fc = dataclasses.replace(base.frontend, match_radius_px=30.0,
+                             predictive_gate_px=16.0)
+    # per-frame yaw deltas: ramp 0 -> 0.24 rad/frame (flow ~0 -> ~65 px)
+    deltas = [0.0, 0.04, 0.08, 0.12, 0.16, 0.20, 0.24, 0.24]
+    poses = []
+    T = np.eye(4, dtype=np.float32)
+    for dy in deltas:
+        poses.append(T.copy())
+        xi = np.array([0, 0, 0, 0, dy, 0], dtype=np.float32)
+        T = (T @ np.asarray(lie_np.se3_exp_np(xi))).astype(np.float32)
+
+    results = {}
+    for flag in (False, True):
+        cfg_f = dataclasses.replace(
+            base, frontend=dataclasses.replace(fc, use_motion_prior_gate=flag))
+        st = fe.init_frontend(cfg_f)
+        step = jax.jit(lambda s, l, r: fe.vo_step(s, l, r, cfg_f))
+        oks = []
+        for i in range(len(deltas)):
+            l, r, _ = synthetic.render_stereo(jnp.asarray(poses[i]), base.rig)
+            st, vo = step(st, l, r)
+            oks.append(bool(vo.tracking_ok))
+        results[flag] = oks
+    # without the prior, the >30 px flow frames (yaw >= 0.12) are lost
+    assert not all(results[False][4:]), results
+    # with the prior, tracking survives the whole ramp
+    assert all(results[True][1:]), results
