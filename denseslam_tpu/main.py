@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_out", default=None)
     p.add_argument("--checkpoint_in", default=None)
     p.add_argument("--metrics_json", default=None)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of the run "
+                        "(the Tic/Toc + GUI-plot telemetry analogue, "
+                        "SURVEY.md section 5)")
     p.add_argument("--quiet", action="store_true")
     # live viewer (Pangolin-GUI equivalent; io/viewer.py)
     p.add_argument("--live_viewer", type=int, default=0, metavar="PORT",
@@ -170,6 +174,9 @@ def main(argv=None) -> int:
             print(f"live viewer: http://127.0.0.1:{viewer.port}/")
 
     mem_log = open(args.save_memory_log, "w") if args.save_memory_log else None
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
     t_start = time.time()
     n = 0
 
@@ -269,6 +276,12 @@ def main(argv=None) -> int:
             print(f"frame {n}: {fps:.2f} FPS, blocks={out['num_blocks']}, "
                   f"mem={out['memory_bytes']/1e6:.1f}MB, "
                   f"tracking={'OK' if out['tracking_ok'] else 'LOST'}")
+
+    if args.profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+        if not args.quiet:
+            print(f"profiler trace -> {args.profile_dir}")
 
     # sequence end: decay catch-up (reference: DecayCatchup at shutdown)
     slam.decay_catchup()
