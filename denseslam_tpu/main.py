@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "tum", "icl_nuim"])
     p.add_argument("--sensor", default="stereo",
                    choices=["monocular", "stereo", "rgbd"])
+    p.add_argument("--internal_odometry", action="store_true",
+                   help="track with ICP against the map raycast instead of "
+                        "sparse VO (reference: use_orbslam_vo=false -> "
+                        "InfiniTamDriver::TrackLocalMap)")
     p.add_argument("--frame_offset", type=int, default=0)
     p.add_argument("--frame_limit", type=int, default=None)
     p.add_argument("--input_scale", type=float, default=1.0)
@@ -126,6 +130,7 @@ def build_config(args, rig):
         pipeline=PipelineConfig(
             keyframe_every=args.keyframe_every,
             sensor={"monocular": "mono"}.get(args.sensor, args.sensor),
+            use_external_odometry=not args.internal_odometry,
         ),
     )
 

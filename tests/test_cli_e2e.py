@@ -279,3 +279,28 @@ def test_cli_chunked_throughput(kitti_dir, tmp_path):
     assert rc == 0
     assert len(load_tum(str(tmp_path / "t.txt"))) == 6   # 4 chunked + 2 tail
     assert len(open(tmp_path / "mem.txt").read().splitlines()) == 6
+
+
+def test_cli_internal_odometry(kitti_dir, tmp_path):
+    """--internal_odometry tracks with ICP vs the map raycast (the
+    reference's use_orbslam_vo=false / TrackLocalMap mode)."""
+    from denseslam_tpu.io.trajectory import load_tum
+    from denseslam_tpu.main import main
+
+    root, poses = kitti_dir
+    rc = main([
+        "--dataset_root", root,
+        "--internal_odometry",
+        "--table_slots_log2", "13", "--max_visible_log2", "11",
+        "--voxel_size", "0.05", "--max_depth", "10",
+        "--save_trajectory", str(tmp_path / "icp.txt"),
+        "--metrics_json", str(tmp_path / "m.json"), "--quiet",
+    ])
+    assert rc == 0
+    traj = load_tum(str(tmp_path / "icp.txt"))
+    assert len(traj) == 6
+    # ICP tracked some actual motion (non-degenerate trajectory)
+    import numpy as np
+    t_last = traj[-1][1][:3, 3]
+    gt_last = poses[-1][:3, 3]
+    assert np.linalg.norm(t_last - gt_last) < 0.25, (t_last, gt_last)
