@@ -101,6 +101,94 @@ def _kernel(orig_ref, tuv_ref, img_ref, out_ref, tiles, sems):
             get_dma(slot, nxt).start()
 
 
+def _kernel_rgb(orig_ref, tuv_ref, img1_ref, img2_ref, out1_ref, out2_ref,
+                tiles1, tiles2, sems):
+    """True-RGB variant: img1 = d_mm | r<<16, img2 = g | b<<8. Outputs
+    out1 = d_mm<<8 | r, out2 = g<<8 | b. Same exact-selection scheme with
+    five <2^8 planes."""
+    i = pl.program_id(0)
+
+    def get_dmas(slot, b):
+        o = orig_ref[i * BCHUNK + b]
+        u0 = o & 0xFFFF
+        v0 = o >> 16
+        src1 = img1_ref.at[pl.ds(v0, TILE_H), pl.ds(u0, TILE_W)]
+        src2 = img2_ref.at[pl.ds(v0, TILE_H), pl.ds(u0, TILE_W)]
+        return (pltpu.make_async_copy(src1, tiles1.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(src2, tiles2.at[slot], sems.at[slot, 1]))
+
+    for b in range(min(NBUF, BCHUNK)):
+        for d in get_dmas(b % NBUF, b):
+            d.start()
+
+    for b in range(BCHUNK):
+        slot = b % NBUF
+        for d in get_dmas(slot, b):
+            d.wait()
+        raw1 = tiles1[slot]
+        raw2 = tiles2[slot]
+        d_lo = (raw1 & 0xFF).astype(jnp.float32)
+        d_hi = (jnp.right_shift(raw1, 8) & 0xFF).astype(jnp.float32)
+        r_ = (jnp.right_shift(raw1, 16) & 0xFF).astype(jnp.float32)
+        g_ = (raw2 & 0xFF).astype(jnp.float32)
+        b_ = (jnp.right_shift(raw2, 8) & 0xFF).astype(jnp.float32)
+        cat = jnp.concatenate([d_hi, d_lo, r_, g_, b_], axis=1)  # (TH, 5*TW)
+
+        tuv = tuv_ref[b, :]
+        tu = tuv & 0xFFFF
+        tv = jnp.right_shift(tuv, 16)
+        inb = (tuv >= 0) & (tu < TILE_W) & (tv < TILE_H)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
+        onehot = (rows_i == tv[:, None]).astype(jnp.float32)
+        rows = jax.lax.dot(onehot, cat, preferred_element_type=jnp.float32)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
+        cmask = (cols_i == tu[:, None]).astype(jnp.float32)
+
+        def sel(k):
+            return jnp.sum(rows[:, k * TILE_W:(k + 1) * TILE_W] * cmask,
+                           axis=1)
+
+        d_mm = sel(0) * 256.0 + sel(1)
+        out1 = d_mm * 256.0 + sel(2)                         # < 2^24
+        out2 = sel(3) * 256.0 + sel(4)                       # < 2^16
+        out1_ref[b, :] = jnp.where(inb, out1, 0.0).astype(jnp.int32)
+        out2_ref[b, :] = jnp.where(inb, out2, 0.0).astype(jnp.int32)
+
+        nxt = b + NBUF
+        if nxt < BCHUNK:
+            for d in get_dmas(slot, nxt):
+                d.start()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tile_sample_rgb_call(img1, img2, orig, tuv, *, interpret: bool):
+    v = tuv.shape[0]
+    blk = pl.BlockSpec((BCHUNK, BLOCK_VOL), lambda i, orig: (i, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(v // BCHUNK,),
+        in_specs=[
+            blk,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[blk, blk],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, TILE_H, TILE_W), jnp.int32),
+            pltpu.VMEM((NBUF, TILE_H, TILE_W), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel_rgb,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((v, BLOCK_VOL), jnp.int32),
+                   jax.ShapeDtypeStruct((v, BLOCK_VOL), jnp.int32)],
+        interpret=interpret,
+    )(orig, tuv, img1, img2)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _tile_sample_call(img_padded, orig, tuv, *, interpret: bool):
     v = tuv.shape[0]
@@ -153,10 +241,21 @@ def tile_sample(
     tile — the caller must resolve those voxels another way. d_mm is the
     EXACT integer mm value as f32 (same quantisation as the XLA packed
     path, so de-integration replays identically)."""
+    orig, tuv, fits, overflow, combo_p = _tiling(combo, u, v, z, width,
+                                                 height)
+    out = _tile_sample_call(combo_p, orig, tuv, interpret=interpret)
+    d_mm = jnp.right_shift(out, 8).astype(jnp.float32)
+    gray = (out & 0xFF).astype(jnp.float32)
+    return d_mm, gray, fits, overflow
+
+
+def _tiling(img, u, v, z, width, height):
+    """Shared tiling pass: per-block tile origins, in-tile coords, overflow
+    flags, padded image."""
     nblk = u.shape[0]
     assert nblk % BCHUNK == 0, nblk
-    combo_p = _pad_image(combo)
-    hp, wp = combo_p.shape
+    img_p = _pad_image(img)
+    hp, wp = img_p.shape
 
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
@@ -179,11 +278,32 @@ def tile_sample(
     tv = vi - v0[:, None]
     fits = inb & (tu >= 0) & (tu < TILE_W) & (tv >= 0) & (tv < TILE_H)
     tuv = jnp.where(fits, tu | (tv << 16), -1).astype(jnp.int32)
+    return orig, tuv, fits, overflow, img_p
 
-    out = _tile_sample_call(combo_p, orig, tuv, interpret=interpret)
-    d_mm = jnp.right_shift(out, 8).astype(jnp.float32)
-    gray = (out & 0xFF).astype(jnp.float32)
-    return d_mm, gray, fits, overflow
+
+def tile_sample_rgb(
+    depth_r: jax.Array,      # (H, W) i32 packed (d_mm | r << 16)
+    g_b: jax.Array,          # (H, W) i32 packed (g | b << 8)
+    u: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    width: int,
+    height: int,
+    *,
+    interpret: bool = False,
+):
+    """True-RGB variant of `tile_sample` (two packed images, two tile DMAs
+    per block). Returns (d_mm, r, g, b, sampled_ok, overflow)."""
+    orig, tuv, fits, overflow, img1_p = _tiling(depth_r, u, v, z, width,
+                                                height)
+    img2_p = _pad_image(g_b)
+    out1, out2 = _tile_sample_rgb_call(img1_p, img2_p, orig, tuv,
+                                       interpret=interpret)
+    d_mm = jnp.right_shift(out1, 8).astype(jnp.float32)
+    r = (out1 & 0xFF).astype(jnp.float32)
+    g = jnp.right_shift(out2, 8).astype(jnp.float32)
+    b = (out2 & 0xFF).astype(jnp.float32)
+    return d_mm, r, g, b, fits, overflow
 
 
 def gather_fallback(

@@ -307,25 +307,51 @@ def integrate(
         from . import sampling
         d_mm_img = jnp.clip(jnp.round(depth * 1000.0), 0, 65535).astype(
             jnp.int32)
-        if color_packed is not None and cfg.gray_color_fusion:
-            g8 = jnp.clip(color_packed & 0xFF, 0, 255)
-        else:
-            g8 = jnp.zeros_like(d_mm_img)
-        combo = jnp.where(depth > 0, (d_mm_img << 8) | g8, 0)
         z_gated = jnp.where(visible_mask[:, None], z, 0.0)
         interpret = jax.default_backend() == "cpu"
-        d_mm, gray, fits, over = sampling.tile_sample(
-            combo, u, v, z_gated, intr.width, intr.height,
-            interpret=interpret)
+        rgb_mode = color_packed is not None and not cfg.gray_color_fusion
+        if rgb_mode:
+            # true-RGB: two packed images, five-plane kernel
+            r8, g8_, b8 = unpack_rgb(color_packed)
+            img1 = jnp.where(depth > 0,
+                             d_mm_img | (r8.astype(jnp.int32) << 16), 0)
+            img2 = jnp.where(depth > 0,
+                             g8_.astype(jnp.int32)
+                             | (b8.astype(jnp.int32) << 8), 0)
+            d_mm, cr_s, cg_s, cb_s, fits, over = sampling.tile_sample_rgb(
+                img1, img2, u, v, z_gated, intr.width, intr.height,
+                interpret=interpret)
+            combo_fb = jnp.where(depth > 0, (d_mm_img << 8), 0)
+        else:
+            if color_packed is not None:
+                g8 = jnp.clip(color_packed & 0xFF, 0, 255)
+            else:
+                g8 = jnp.zeros_like(d_mm_img)
+            combo_fb = jnp.where(depth > 0, (d_mm_img << 8) | g8, 0)
+            d_mm, gray, fits, over = sampling.tile_sample(
+                combo_fb, u, v, z_gated, intr.width, intr.height,
+                interpret=interpret)
         sel, d_mm_o, gray_o, ok_o = sampling.gather_fallback(
-            combo, u, v, z_gated, intr.width, intr.height, over,
+            combo_fb, u, v, z_gated, intr.width, intr.height, over,
             cfg.pallas_overflow_cap)
         d_mm = d_mm.at[sel].set(jnp.where(ok_o, d_mm_o, d_mm[sel]))
-        gray = gray.at[sel].set(jnp.where(ok_o, gray_o, gray[sel]))
         fits = fits.at[sel].set(fits[sel] | ok_o)
-        d_samp = d_mm * 1e-3
-        if color_packed is not None and cfg.gray_color_fusion:
+        if rgb_mode:
+            # fallback color: one extra compacted gather of the RGB image
+            ui_o = jnp.clip(jnp.round(u[sel]).astype(jnp.int32), 0,
+                            intr.width - 1)
+            vi_o = jnp.clip(jnp.round(v[sel]).astype(jnp.int32), 0,
+                            intr.height - 1)
+            cp_o = color_packed.reshape(-1)[vi_o * intr.width + ui_o]
+            r_o, g_o, b_o = unpack_rgb(cp_o)
+            cr_s = cr_s.at[sel].set(jnp.where(ok_o, r_o, cr_s[sel]))
+            cg_s = cg_s.at[sel].set(jnp.where(ok_o, g_o, cg_s[sel]))
+            cb_s = cb_s.at[sel].set(jnp.where(ok_o, b_o, cb_s[sel]))
+            gray_samp = (cr_s, cg_s, cb_s)
+        elif color_packed is not None:
+            gray = gray.at[sel].set(jnp.where(ok_o, gray_o, gray[sel]))
             gray_samp = gray
+        d_samp = d_mm * 1e-3
         d_valid = fits & (d_samp > 0)
         d_samp = jnp.where(d_valid, d_samp, 0.0)
     elif cfg.bilinear_fusion:
@@ -390,7 +416,9 @@ def integrate(
 
     if color_packed is not None and sign > 0:
         # nearest-pixel color, weight-led running average per channel
-        if gray_samp is not None:
+        if isinstance(gray_samp, tuple):
+            cr, cg, cb = gray_samp       # true-RGB pallas samples
+        elif gray_samp is not None:
             cr = cg = cb = gray_samp     # luminance came with the depth
         else:
             ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, intr.width - 1)

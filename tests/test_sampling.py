@@ -125,3 +125,39 @@ def test_integrate_deintegrate_identity_pallas(frame):
     w = np.asarray(m1.weight) > 0
     np.testing.assert_allclose(np.asarray(m2.tsdf)[~w.any(axis=1)],
                                np.asarray(m0.tsdf)[~w.any(axis=1)], atol=1e-5)
+
+
+def test_integrate_pallas_rgb_matches_gather(frame):
+    """True-RGB mode (gray_color_fusion=False): the five-plane RGB kernel
+    must reproduce the XLA path's fused tsdf/weight exactly and color
+    within rounding."""
+    cfg, T, depth, _ = frame
+    rng = np.random.default_rng(5)
+    h, w = depth.shape
+    r = rng.integers(0, 256, (h, w)).astype(np.float32)
+    g = rng.integers(0, 256, (h, w)).astype(np.float32)
+    b = rng.integers(0, 256, (h, w)).astype(np.float32)
+    color = tsdf_ops.pack_rgb(jnp.asarray(r), jnp.asarray(g), jnp.asarray(b))
+
+    t_g = dataclasses.replace(cfg.tsdf, gray_color_fusion=False)
+    t_p = dataclasses.replace(t_g, sampler="pallas")
+    cfg_g = dataclasses.replace(cfg, tsdf=t_g)
+    cfg_p = dataclasses.replace(cfg, tsdf=t_p)
+    m_g = _fuse(cfg_g, depth, color, T)
+    m_p = _fuse(cfg_p, depth, color, T)
+    # the RGB gather path samples RAW float depth; pallas quantises to
+    # 1 mm, so update predicates may flip for a handful of voxels exactly
+    # on a threshold, and tsdf differs by <= 1 mm / trunc_dist
+    w_g = np.asarray(m_g.weight)
+    w_p = np.asarray(m_p.weight)
+    assert (w_g != w_p).mean() < 1e-5
+    agree = w_g == w_p
+    np.testing.assert_allclose(np.asarray(m_g.tsdf)[agree],
+                               np.asarray(m_p.tsdf)[agree],
+                               atol=2e-3 / cfg.tsdf.trunc_dist_m)
+    # colors agree exactly where fused (same nearest pixel, same weights)
+    cg_ = np.asarray(m_g.color)
+    cp_ = np.asarray(m_p.color)
+    fused = np.asarray(m_g.weight) > 0
+    same = (cg_ == cp_) | ~fused
+    assert same.mean() > 0.995, same.mean()
