@@ -18,3 +18,14 @@ Layer map (mirrors SURVEY.md section 1, rebuilt TPU-first):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# SLAM numerics need real f32 matmuls: pose compositions, GN/Schur normal
+# equations, ICP reductions and RANSAC refits are all small MXU
+# contractions whose bf16 default (TPU Precision.DEFAULT) costs ~8 mantissa
+# bits exactly where conditioning is worst (the reference solves these in
+# f64, src/libviso2/src/matrix.h:44-45). Every matmul in this framework is
+# tiny next to the gather/DMA-bound map ops, so "highest" is effectively
+# free here. Opt-outs are per-op (precision=... at the call site).
+_jax.config.update("jax_default_matmul_precision", "highest")
