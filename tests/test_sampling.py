@@ -161,3 +161,32 @@ def test_integrate_pallas_rgb_matches_gather(frame):
     fused = np.asarray(m_g.weight) > 0
     same = (cg_ == cp_) | ~fused
     assert same.mean() > 0.995, same.mean()
+
+
+def test_fuse_sequence_pallas_matches_gather():
+    """The pallas sampler inside the batched `fuse_sequence` scan (the
+    bench/throughput path) matches the gather path."""
+    from denseslam_tpu.io import synthetic as synth
+    from denseslam_tpu.models.dense_slam import fuse_sequence, make_fusion_db
+
+    cfg = tiny_test_config(width=120, height=90)
+    n = 3
+    poses = synth.make_trajectory(n, step_m=0.08, yaw_rate=0.0)
+    grays, depths = synth.render_trajectory(poses, cfg.rig.intr)
+    T_wcs = jnp.asarray(poses)
+    fids = jnp.arange(n, dtype=jnp.int32)
+
+    outs = {}
+    for sampler in ("gather", "pallas"):
+        c = dataclasses.replace(
+            cfg, tsdf=dataclasses.replace(cfg.tsdf, sampler=sampler))
+        m = tsdf_ops.make_map(c.tsdf)
+        db = make_fusion_db(c)
+        m, db = jax.jit(
+            lambda m, db: fuse_sequence(m, db, depths, grays, T_wcs, fids, c)
+        )(m, db)
+        outs[sampler] = m
+    np.testing.assert_array_equal(np.asarray(outs["gather"].weight),
+                                  np.asarray(outs["pallas"].weight))
+    np.testing.assert_array_equal(np.asarray(outs["gather"].tsdf),
+                                  np.asarray(outs["pallas"].tsdf))
