@@ -20,11 +20,13 @@ def _flatten_with_paths(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
     leaves, treedef = jax.tree.flatten(tree)
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
+        key = f"{prefix}/{i}"
         if arr.dtype.name == "bfloat16":
-            # npz can't serialise ml_dtypes; store raw bits, dtype comes
-            # back from the template on load.
+            # npz can't serialise ml_dtypes; store raw bits under a marked
+            # key so load can't misread them as integer data.
             arr = arr.view(np.uint16)
-        flat[f"{prefix}/{i}"] = arr
+            key += ":bf16"
+        flat[key] = arr
     return flat
 
 
@@ -33,11 +35,18 @@ def _unflatten_like(template: Any, data: Dict[str, np.ndarray],
     leaves, treedef = jax.tree.flatten(template)
     new_leaves = []
     for i, leaf in enumerate(leaves):
-        arr = data[f"{prefix}/{i}"]
-        if (hasattr(leaf, "dtype") and leaf.dtype.name == "bfloat16"
-                and arr.dtype == np.uint16):
+        key = f"{prefix}/{i}"
+        if key in data:
+            arr = data[key]
+        elif key + ":bf16" in data:
             import ml_dtypes
-            arr = arr.view(ml_dtypes.bfloat16)
+            arr = data[key + ":bf16"].view(ml_dtypes.bfloat16)
+        else:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        if hasattr(leaf, "dtype") and arr.dtype != leaf.dtype:
+            # checkpoint written under a different storage_dtype: convert
+            # through float (values, not bits) so the map stays valid
+            arr = arr.astype(leaf.dtype)
         new_leaves.append(jnp.asarray(arr) if isinstance(leaf, jax.Array) else arr)
     return jax.tree.unflatten(treedef, new_leaves)
 

@@ -72,8 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=0,
                    help="throughput mode: batch N frames per device program "
                         "(process_chunk; implies --enable_backend, stereo "
-                        "sensor, on-device SGM depth). Raycast dumps and "
-                        "telemetry drop to chunk rate.")
+                        "sensor, on-device SGM depth). Raycast dumps, viewer "
+                        "panes and telemetry drop to chunk rate; the memory "
+                        "log repeats the chunk-end value per frame.")
     # outputs
     p.add_argument("--save_trajectory", default=None)
     p.add_argument("--save_kitti_trajectory", default=None)
@@ -189,11 +190,38 @@ def main(argv=None) -> int:
         # Throughput mode: frames flow through the batched process_sequence
         # scan (ONE device program per chunk; the per-frame host loop costs
         # ~3x at KITTI scale on this runtime). Telemetry is chunk-rate.
+        from .utils.image import rgb_to_gray
+
         def to_gray(img):
-            a = np.asarray(img, np.float32)
-            if a.ndim == 3:
-                a = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
-            return a
+            a = jnp.asarray(img, jnp.float32)
+            return rgb_to_gray(a) if a.ndim == 3 else a
+
+        def chunk_outputs(out):
+            fid = slam.frame - 1
+            if args.save_raycast_depth_dir:
+                slam.save_raycast_depth(os.path.join(
+                    args.save_raycast_depth_dir, f"{fid:06d}.png"))
+            if args.save_raycast_rgb_dir:
+                slam.save_raycast_rgb(os.path.join(
+                    args.save_raycast_rgb_dir, f"{fid:06d}.png"))
+            if viewer is not None:
+                from .io.viewer import colorize_depth
+                from .ops import raycast as rc_ops
+                rc = slam.raycast_view()
+                viewer.update(
+                    panes=dict(
+                        raycast=np.asarray(
+                            rc_ops.render_preview(rc, rc_ops.PREVIEW_GRAY)),
+                        raycast_depth=colorize_depth(
+                            np.asarray(rc.depth), cfg.tsdf.max_depth_m)),
+                    stats=dict(frame=n,
+                               fps=n / max(time.time() - t_start, 1e-6),
+                               blocks=slam.submaps.local_map_size(
+                                   slam.submaps.active_idx),
+                               memory_mb=slam.memory_bytes() / 1e6,
+                               tracking_ok=bool(out["tracking_ok"]),
+                               keyframes=system.backend.num_keyframes),
+                    pose=np.asarray(out["T_wc"]))
 
         batch_l, batch_r = [], []
         out = None
@@ -211,6 +239,7 @@ def main(argv=None) -> int:
                 if mem_log:
                     mb = slam.memory_bytes() / 100e6
                     mem_log.write(f"{mb:.6f}\n" * args.chunk)
+                chunk_outputs(out)
                 if not args.quiet:
                     fps = n / (time.time() - t_start)
                     print(f"frame {n}: {fps:.2f} FPS (chunked), "

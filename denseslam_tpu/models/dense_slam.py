@@ -407,6 +407,14 @@ class DenseSLAM:
 
     def __init__(self, cfg: SystemConfig, seed: int = 0, mesh=None):
         self.cfg = cfg
+        if cfg.correction.enabled and cfg.tsdf.storage_dtype == "bfloat16":
+            import warnings
+            warnings.warn(
+                "online correction replays de-integration against a "
+                "bfloat16-quantised map: the de-fuse/re-fuse inverse is "
+                "approximate (~1/256 tsdf error per correction) instead of "
+                "exact. Use float32 storage when correction fidelity "
+                "matters.", stacklevel=2)
         self.fe_state = fe.init_frontend(cfg, seed=seed)
         self.submaps = SubmapManager(cfg)
         self.db = make_fusion_db(cfg)

@@ -65,7 +65,6 @@ class SLAMSystem:
         self.num_loops = 0
         self.num_corrections = 0
         self._seq_fn = None
-        self._frame0 = 0
 
     def process_frame(self, left, right=None, depth=None,
                       timestamp: Optional[float] = None) -> dict:
@@ -126,24 +125,24 @@ class SLAMSystem:
                 functools.partial(process_sequence, cfg=self.cfg),
                 donate_argnums=(1, 2),
             )
-        fids = jnp.arange(self._frame0, self._frame0 + n, dtype=jnp.int32)
+        frame0 = slam.frame          # authoritative (checkpoint-restored)
+        fids = jnp.arange(frame0, frame0 + n, dtype=jnp.int32)
         st, m, db, stats = self._seq_fn(
             slam.fe_state, slam.submaps.active, slam.db, lefts, rights, fids)
         slam.fe_state = st
         slam.submaps.active = m
         slam.db = db
-        self._frame0 += n
-        slam.frame = self._frame0
+        slam.frame = frame0 + n
 
         T_last = np.asarray(stats["T_wc"][-1])
         fused_any = bool(np.asarray(stats["fused"]).any())
         for i in range(n):
             slam.pose_history.append(
-                (int(self._frame0 - n + i), np.asarray(stats["T_wc"][i])))
+                (int(frame0 + i), np.asarray(stats["T_wc"][i])))
 
         if fused_any:
             self.backend.add_keyframe(
-                int(self._frame0 - 1), T_last, st.feats_l, st.feats_r)
+                int(frame0 + n - 1), T_last, st.feats_l, st.feats_r)
             nkf = self.backend.num_keyframes
             if self.loop_every and nkf % self.loop_every == 0:
                 hit = self.backend.detect_loop()

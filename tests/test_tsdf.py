@@ -243,3 +243,34 @@ def test_bf16_pipeline_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(slam2.submaps.active.tsdf, np.float32),
         np.asarray(slam.submaps.active.tsdf, np.float32))
+
+
+def test_checkpoint_cross_dtype_load(tmp_path):
+    """A bf16-saved checkpoint loads into a float32-configured map as
+    VALUES (not raw bits) — regression for the uint16 bit-view leak."""
+    import dataclasses
+    from denseslam_tpu.config import tiny_test_config
+    from denseslam_tpu.io.checkpoint import (load_slam_checkpoint,
+                                             save_slam_checkpoint)
+    from denseslam_tpu.models.dense_slam import DenseSLAM
+
+    cfg16 = tiny_test_config(width=160, height=120, baseline_m=0.3)
+    cfg16 = dataclasses.replace(
+        cfg16, tsdf=dataclasses.replace(cfg16.tsdf, storage_dtype="bfloat16"))
+    slam = DenseSLAM(cfg16)
+    poses = synthetic.make_trajectory(3, step_m=0.06, yaw_rate=0.0)
+    for i in range(3):
+        l, r, d = synthetic.render_stereo(jnp.asarray(poses[i]), cfg16.rig)
+        slam.process_frame(l, r, depth=d)
+    p = str(tmp_path / "ck16.npz")
+    save_slam_checkpoint(p, slam)
+
+    cfg32 = tiny_test_config(width=160, height=120, baseline_m=0.3)
+    slam32 = DenseSLAM(cfg32)
+    load_slam_checkpoint(p, slam32)
+    t = slam32.submaps.active.tsdf
+    assert t.dtype == jnp.float32
+    tv = np.asarray(t)
+    assert np.abs(tv).max() <= 1.0 + 1e-3          # values, not bf16 bit patterns
+    np.testing.assert_allclose(
+        tv, np.asarray(slam.submaps.active.tsdf, np.float32), atol=1e-6)
