@@ -102,7 +102,12 @@ def vo_step(
     else:
         q = matching.quad_match(f_lc, f_rc, state.feats_l, state.feats_r, fc)
     q = matching.remove_outliers(q, fc)
-    disp_lc, disp_rc = matching.stereo_disparities(f_lc, f_rc, fc)
+    if fc.use_motion_prior_gate:
+        # XLA CSE merges this with quad_match's internal stereo match
+        disp_lc, disp_rc = matching.stereo_disparities(f_lc, f_rc, fc)
+    else:
+        n = f_lc.uv.shape[0]
+        disp_lc = disp_rc = jnp.full((n,), -1.0)
     key, sub = jax.random.split(state.key)
     res = ransac.estimate_stereo_motion(q, cfg.rig, fc, sub,
                                         T_init=state.T_delta_prev)
