@@ -156,6 +156,8 @@ class Backend:
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
         self.keyframes: List[Keyframe] = []
+        self.last_ba_ms: float = 0.0     # BA solve wall time, first-class
+                                         # metric (BASELINE.md targets)
         self.odom_edges: List[Tuple[int, int, np.ndarray, float]] = []
         self.loop_edges: List[Tuple[int, int, np.ndarray, float]] = []
 
@@ -223,7 +225,11 @@ class Backend:
         )
         fixed = jnp.arange(K) <= pad
         problem = self._build(fl, fr, T, fixed=fixed)
+        import time as _time
+        t0 = _time.perf_counter()
         res = self._ba(problem)
+        float(jax.device_get(res.final_cost))   # fetch-synced timing
+        self.last_ba_ms = (_time.perf_counter() - t0) * 1000.0
         opt = np.asarray(res.T_wc)[pad:]
         base = len(self.keyframes) - k
         for i, kf in enumerate(window):

@@ -102,6 +102,7 @@ class SLAMSystem:
         out["budget_scale"] = self.pd.update(frame_ms)
         out["num_loops"] = self.num_loops
         out["num_corrections"] = self.num_corrections
+        out["ba_ms"] = self.backend.last_ba_ms
         return out
 
     def process_chunk(self, lefts, rights) -> dict:
@@ -167,6 +168,7 @@ class SLAMSystem:
             chunk_ms=dt,
             num_loops=self.num_loops,
             num_corrections=self.num_corrections,
+            ba_ms=self.backend.last_ba_ms,
         )
 
     def _resync_pose(self) -> None:
