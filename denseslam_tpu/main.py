@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_depth", type=float, default=50.0)
     p.add_argument("--table_slots_log2", type=int, default=17)
     p.add_argument("--max_visible_log2", type=int, default=14)
+    p.add_argument("--sampler", default="gather",
+                   choices=["gather", "pallas"],
+                   help="fusion image-sampling backend (ops/sampling.py)")
+    p.add_argument("--storage_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="TSDF pool storage dtype")
     # regularisation (reference param.yaml voxel_decay / slide_window blocks)
     p.add_argument("--voxel_decay", action="store_true")
     p.add_argument("--min_decay_age", type=int, default=30)
@@ -111,6 +117,8 @@ def build_config(args, rig):
         max_visible_blocks=1 << args.max_visible_log2,
         max_alloc_per_frame=1 << args.max_visible_log2,
         max_depth_m=args.max_depth,
+        sampler=args.sampler,
+        storage_dtype=args.storage_dtype,
         weights=WeightParams(
             depth_weighting=args.depth_weighting,
             max_new_w=args.max_new_w,
