@@ -269,6 +269,32 @@ class Backend:
         self.loop_edges.append((ci, qi, T_ij, 10.0))
         return qi, ci
 
+    def relocalize(self, feats_l: Features, feats_r: Features,
+                   min_similarity: float = 0.85,
+                   min_inliers: int = 30) -> Optional[np.ndarray]:
+        """Recover a lost camera against the keyframe database — the
+        ORB-SLAM2 relocalization capability (reference: Tracking's
+        relocalization with DBoW2 candidate retrieval + PnP; here signature
+        retrieval + the stereo-RANSAC loop verifier). Returns the recovered
+        T_wc or None."""
+        if not self.keyframes:
+            return None
+        sig = np.asarray(_signature(feats_l))
+        sigs = np.stack([k.signature for k in self.keyframes])
+        sims = sigs @ sig
+        ci = int(np.argmax(sims))
+        if sims[ci] < min_similarity:
+            return None
+        cand = self.keyframes[ci]
+        T_rel, n_inl, ok = self._verify(
+            feats_l, feats_r, cand.feats_l, cand.feats_r,
+            jax.random.PRNGKey(7000 + len(self.keyframes)),
+        )
+        if not bool(ok) or int(n_inl) < min_inliers:
+            return None
+        # query pose: p_query = T_rel p_cand  =>  T_wq = T_wc_cand inv(T_rel)
+        return np.asarray(jnp.asarray(cand.T_wc) @ lie.inv_T(jnp.asarray(T_rel)))
+
     def optimize_graph(self) -> Tuple[np.ndarray, np.ndarray]:
         """Pose-graph relaxation over all keyframes; updates stored poses.
 

@@ -54,16 +54,20 @@ class PDController:
 
 class SLAMSystem:
     def __init__(self, cfg: SystemConfig, seed: int = 0,
-                 ba_every: int = 4, loop_every: int = 1):
+                 ba_every: int = 4, loop_every: int = 1,
+                 reloc_after: int = 3):
         self.cfg = cfg
         self.slam = DenseSLAM(cfg, seed=seed)
         self.backend = Backend(cfg)
         self.ba_every = ba_every
         self.loop_every = loop_every
+        self.reloc_after = reloc_after   # lost frames before relocalizing
         self.pd = PDController(cfg.frontend.pd_kp, cfg.frontend.pd_kd,
                                cfg.frontend.target_frame_ms)
         self.num_loops = 0
         self.num_corrections = 0
+        self.num_relocs = 0
+        self._lost_streak = 0
         self._seq_fn = None
 
     def process_frame(self, left, right=None, depth=None,
@@ -73,6 +77,31 @@ class SLAMSystem:
         t0 = _time.perf_counter()
         out = self.slam.process_frame(left, right, depth=depth,
                                       timestamp=timestamp)
+
+        # Relocalization after sustained tracking loss (ORB-SLAM2
+        # capability: the constant-velocity fallback alone never re-locks).
+        if out["tracking_ok"]:
+            self._lost_streak = 0
+        else:
+            self._lost_streak += 1
+            if (self.reloc_after
+                    and self._lost_streak >= self.reloc_after
+                    and self.backend.num_keyframes):
+                fe = self.slam.fe_state
+                T = self.backend.relocalize(fe.feats_l, fe.feats_r)
+                if T is not None:
+                    eye = jnp.eye(4, dtype=jnp.float32)
+                    self.slam.fe_state = fe._replace(
+                        T_wc=jnp.asarray(T),
+                        T_delta_prev=eye,
+                        prior_ok=jnp.zeros((), bool),
+                    )
+                    self.slam.pose_history[-1] = (
+                        self.slam.pose_history[-1][0], np.asarray(T))
+                    out["T_wc"] = jnp.asarray(T)
+                    out["relocalized"] = True
+                    self.num_relocs += 1
+                    self._lost_streak = 0
 
         if out["fused"]:
             # register the fused keyframe with the backend (the
