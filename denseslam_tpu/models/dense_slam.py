@@ -273,6 +273,21 @@ def online_correction(
     m, db = jax.lax.fori_loop(0, oc.correction_num, correct_one, (m, db))
     num = jnp.sum((scores > 0.0).astype(jnp.int32))
     num = jnp.minimum(num, oc.correction_num)
+
+    # Defusion-part GC (reference: the N x SlideWindowMapDefusionPart /
+    # DecayDefusionPart calls when correction is on, DenseSlam.cpp:215-225):
+    # reclaim blocks the replay emptied and evict stale low-weight leftovers
+    # at the pre-correction pose, without waiting for the global age gates.
+    def gc(md):
+        m, db = md
+        if cfg.decay.enabled:
+            m = tsdf_ops.decay_defusion_part(m)
+        if cfg.slide_window.enabled:
+            m = tsdf_ops.slide_window_defusion_part(
+                m, cfg.slide_window.max_age)
+        return m, db
+
+    m, db = jax.lax.cond(do_correct & (num > 0), gc, lambda md: md, (m, db))
     return m, db, jnp.where(do_correct, num, 0)
 
 

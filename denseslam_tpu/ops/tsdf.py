@@ -459,12 +459,17 @@ def decay(
     max_decay_weight: float,
     min_decay_age: int,
     force_all: bool = False,
+    only_mask: Optional[jax.Array] = None,
 ) -> MapState:
     """Voxel GC: zero voxels with weight <= max_decay_weight in blocks older
     than min_decay_age; reclaim blocks left empty. `force_all` ignores the
-    age gate (DecayCatchup semantics, InfiniTamDriver.h:315-331)."""
+    age gate (DecayCatchup semantics, InfiniTamDriver.h:315-331);
+    `only_mask` (S,) restricts the pass to a block subset (the
+    *DefusionPart variants, InfiniTamDriver.h:286-291)."""
     age = m.frame - m.alloc_frame
     eligible = m.table.valid & (force_all | (age >= min_decay_age))
+    if only_mask is not None:
+        eligible = eligible & only_mask
     wd = m.weight.dtype
     kill = eligible[:, None] & (m.weight <= max_decay_weight) & (m.weight > 0)
     weight = jnp.where(kill, jnp.zeros((), wd), m.weight)
@@ -484,6 +489,39 @@ def decay(
 def decay_catchup(m: MapState, max_decay_weight: float) -> MapState:
     """Run decay once ignoring age — sequence-end catch-up."""
     return decay(m, max_decay_weight, 0, force_all=True)
+
+
+def decay_defusion_part(m: MapState) -> MapState:
+    """Reclaim blocks of the correction working set left empty by
+    de-integration (reference: DecayDefusionPart,
+    InfiniTamDriver.h:286-291 — the de-fuse/re-fuse replay gets its own
+    bounded GC pass instead of waiting for the age-gated global decay).
+    The working set = blocks touched this frame (last_seen == frame);
+    max_decay_weight=0 makes this pure empty-block reclamation — surviving
+    weights are never zeroed."""
+    touched = m.last_seen == m.frame
+    return decay(m, 0.0, 0, force_all=True, only_mask=touched)
+
+
+def slide_window_defusion_part(m: MapState, max_age: int,
+                               occupancy_floor: float = 0.02) -> MapState:
+    """Evict stale near-empty blocks of the correction working set
+    (reference: SlideWindowDefusionPart(scene, renderState, max_age,
+    maxSize), InfiniTamDriver.h:304-308): after a replay, blocks that were
+    de-integrated but not re-covered keep a few residual weighted voxels at
+    the OLD pose — evict those older than max_age. Re-fused blocks carry a
+    real occupied surface band (>> the occupancy floor) and survive."""
+    occ = jnp.mean((m.weight > 0).astype(jnp.float32), axis=-1)
+    touched = (m.last_seen == m.frame) & (occ < occupancy_floor)
+    old = m.table.valid & touched & ((m.frame - m.alloc_frame) > max_age)
+    table = vhash.free_mask(m.table, old)
+    return m._replace(
+        table=table,
+        tsdf=jnp.where(old[:, None], jnp.ones((), m.tsdf.dtype), m.tsdf),
+        weight=jnp.where(old[:, None], jnp.zeros((), m.weight.dtype),
+                         m.weight),
+        color=jnp.where(old[:, None], 0, m.color),
+    )
 
 
 def slide_window(m: MapState, max_age: int, by_last_seen: bool = False) -> MapState:

@@ -274,3 +274,31 @@ def test_checkpoint_cross_dtype_load(tmp_path):
     assert np.abs(tv).max() <= 1.0 + 1e-3          # values, not bf16 bit patterns
     np.testing.assert_allclose(
         tv, np.asarray(slam.submaps.active.tsdf, np.float32), atol=1e-6)
+
+
+def test_defusion_part_gc(frame):
+    """DecayDefusionPart reclaims blocks emptied by de-integration while
+    SlideWindowDefusionPart leaves freshly re-fused content alone."""
+    cfg, T, depth, color = frame
+    m = tsdf_ops.make_map(cfg.tsdf)
+    m, slots, mask = fuse_one(cfg, m, depth, color, T)
+    n0 = int(tsdf_ops.num_allocated_blocks(m))
+    # de-integrate the same frame: every block's weight returns to 0
+    m = tsdf_ops.deintegrate(m, slots, mask, depth, color, T, cfg.rig.intr,
+                             cfg.tsdf)
+    assert int(tsdf_ops.num_allocated_blocks(m)) == n0  # not yet reclaimed
+    m2 = tsdf_ops.decay_defusion_part(m)
+    assert int(tsdf_ops.num_allocated_blocks(m2)) < n0 // 4
+    assert int(m2.decayed_blocks) > 0
+
+    # re-fuse: defusion-part slide must NOT evict the fresh content even
+    # when its alloc age exceeds max_age
+    m3, slots, mask = fuse_one(cfg, m2, depth, color, T)
+    m3 = m3._replace(frame=m3.frame + 100)      # age everything
+    m3 = m3._replace(last_seen=jnp.where(m3.table.valid, m3.frame,
+                                         m3.last_seen))
+    n3 = int(tsdf_ops.num_allocated_blocks(m3))
+    m4 = tsdf_ops.slide_window_defusion_part(m3, max_age=10)
+    # fused blocks carry weight >= floor in their occupied voxels; most
+    # survive (only sparse low-occupancy boundary blocks may go)
+    assert int(tsdf_ops.num_allocated_blocks(m4)) > 0.5 * n3
