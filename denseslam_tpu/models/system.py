@@ -107,24 +107,10 @@ class SLAMSystem:
             # register the fused keyframe with the backend (the
             # getProcessKeyFrames handoff, reversed direction)
             fe = self.slam.fe_state
-            kf_idx = self.backend.add_keyframe(
+            self.backend.add_keyframe(
                 out["frame"], np.asarray(out["T_wc"]), fe.feats_l, fe.feats_r
             )
-            nkf = self.backend.num_keyframes
-
-            if self.loop_every and nkf % self.loop_every == 0:
-                hit = self.backend.detect_loop()
-                if hit is not None:
-                    self.num_loops += 1
-                    ids, opt = self.backend.optimize_graph()
-                    self.num_corrections += self.slam.apply_pose_updates(ids, opt)
-                    self._resync_pose()
-            if self.ba_every and nkf >= 2 and nkf % self.ba_every == 0:
-                res = self.backend.local_ba()
-                if res is not None:
-                    ids, opt = res
-                    self.num_corrections += self.slam.apply_pose_updates(ids, opt)
-                    self._resync_pose()
+            self._backend_tick()
 
         frame_ms = (_time.perf_counter() - t0) * 1000.0
         out["frame_ms"] = frame_ms
@@ -173,20 +159,7 @@ class SLAMSystem:
         if fused_any:
             self.backend.add_keyframe(
                 int(frame0 + n - 1), T_last, st.feats_l, st.feats_r)
-            nkf = self.backend.num_keyframes
-            if self.loop_every and nkf % self.loop_every == 0:
-                hit = self.backend.detect_loop()
-                if hit is not None:
-                    self.num_loops += 1
-                    ids, opt = self.backend.optimize_graph()
-                    self.num_corrections += self.slam.apply_pose_updates(ids, opt)
-                    self._resync_pose()
-            if self.ba_every and nkf >= 2 and nkf % self.ba_every == 0:
-                res = self.backend.local_ba()
-                if res is not None:
-                    ids, opt = res
-                    self.num_corrections += self.slam.apply_pose_updates(ids, opt)
-                    self._resync_pose()
+            self._backend_tick()
 
         dt = (_time.perf_counter() - t0) * 1000.0
         return dict(
@@ -199,6 +172,25 @@ class SLAMSystem:
             num_corrections=self.num_corrections,
             ba_ms=self.backend.last_ba_ms,
         )
+
+    def _backend_tick(self) -> None:
+        """Keyframe-rate backend work: loop closing every `loop_every`
+        keyframes, local BA every `ba_every`; optimised poses flow back to
+        the frontend and dense map (the LocalMapping/LoopClosing thread
+        cadence, flattened to explicit scheduling)."""
+        nkf = self.backend.num_keyframes
+        if self.loop_every and nkf % self.loop_every == 0:
+            if self.backend.detect_loop() is not None:
+                self.num_loops += 1
+                ids, opt = self.backend.optimize_graph()
+                self.num_corrections += self.slam.apply_pose_updates(ids, opt)
+                self._resync_pose()
+        if self.ba_every and nkf >= 2 and nkf % self.ba_every == 0:
+            res = self.backend.local_ba()
+            if res is not None:
+                ids, opt = res
+                self.num_corrections += self.slam.apply_pose_updates(ids, opt)
+                self._resync_pose()
 
     def _resync_pose(self) -> None:
         """Propagate the backend's latest optimised keyframe pose into the
