@@ -450,6 +450,7 @@ class DenseSLAM:
 
         self._vo = jax.jit(functools.partial(fe.vo_step, cfg=cfg))
         self._mono_vo = jax.jit(functools.partial(fe.mono_vo_step, cfg=cfg))
+        self._rgbd_vo = jax.jit(functools.partial(fe.rgbd_vo_step, cfg=cfg))
         self._fuse = jax.jit(functools.partial(fuse_keyframe, cfg=cfg))
         self._stereo = jax.jit(
             functools.partial(stereo_ops.compute_depth, rig=cfg.rig, cfg=cfg.stereo)
@@ -547,6 +548,17 @@ class DenseSLAM:
             # OrbSLAMDriver::orbTrackMonocular): pose from mono VO with
             # ground-plane scale; dense fusion only when depth is supplied.
             self.fe_state, vo = self._mono_vo(self.fe_state, left)
+            T_wc = vo.T_wc
+            tracking_ok = bool(vo.tracking_ok)
+            vo_stats = dict(
+                num_inliers=int(vo.num_inliers), num_quads=int(vo.num_quads)
+            )
+        elif cfg.pipeline.sensor == "rgbd" and cfg.pipeline.use_external_odometry:
+            # RGB-D mode (reference: orbTrackRGBD): feature VO with depth
+            # synthesising virtual right-view observations (rgbd_vo_step)
+            if depth is None:
+                raise ValueError("rgbd VO needs a depth image")
+            self.fe_state, vo = self._rgbd_vo(self.fe_state, left, depth)
             T_wc = vo.T_wc
             tracking_ok = bool(vo.tracking_ok)
             vo_stats = dict(

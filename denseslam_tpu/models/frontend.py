@@ -141,6 +141,93 @@ def vo_step(
     return new_state, out
 
 
+def rgbd_vo_step(
+    state: FrontendState,
+    gray: jax.Array,
+    depth: jax.Array,
+    cfg: SystemConfig,
+) -> Tuple[FrontendState, VOOutput]:
+    """One frame of RGB-D VO (reference: orbTrackRGBD,
+    OrbSLAMDriver.h:76-86 — feature tracking with sensor depth).
+
+    TPU re-design: the depth image synthesises VIRTUAL right-view
+    observations (disparity = fx*B/Z at each feature), turning RGB-D into
+    exactly the stereo quad problem — temporal matching, flow consensus,
+    and the 4-way-reprojection RANSAC/GN solver all run unchanged. The
+    virtual baseline is cfg.rig.baseline_m (any positive value works; it
+    cancels through the solver as long as both frames use the same B)."""
+    fc = cfg.frontend
+    intr = cfg.rig.intr
+    f_lc = feat_ops.detect(gray, fc)
+    f_lc = feat_ops.bucket(f_lc, intr.width, intr.height, fc)
+
+    # virtual disparity of the current features from the depth image
+    ui = jnp.clip(jnp.round(f_lc.uv[:, 0]).astype(jnp.int32), 0,
+                  intr.width - 1)
+    vi = jnp.clip(jnp.round(f_lc.uv[:, 1]).astype(jnp.int32), 0,
+                  intr.height - 1)
+    z = depth.reshape(-1)[vi * intr.width + ui]
+    disp_lc = jnp.where(f_lc.valid & (z > 0.1),
+                        intr.fx * cfg.rig.baseline_m / jnp.maximum(z, 0.1),
+                        -1.0)
+
+    if fc.use_motion_prior_gate:
+        trusted = state.initialized & state.prior_ok
+        pred, pok = matching.predict_uv(
+            state.feats_l.uv, jnp.where(trusted, state.disp_l, -1.0),
+            state.T_delta_prev, intr.fx, intr.fy, intr.cx, intr.cy,
+            cfg.rig.baseline_m)
+        m = matching.match_temporal(f_lc, state.feats_l, fc, pred, pok)
+    else:
+        m = matching.match_temporal(f_lc, state.feats_l, fc)
+
+    n = f_lc.uv.shape[0]
+    i_lc = jnp.arange(n, dtype=jnp.int32)
+    ok = (m >= 0) & f_lc.valid & (disp_lc > 0.5)
+    disp_lp = state.disp_l[jnp.maximum(m, 0)]
+    ok = ok & (disp_lp > 0.5)
+    uv_lp = state.feats_l.uv[jnp.maximum(m, 0)]
+    q = matching.QuadMatches(
+        idx_lc=i_lc, idx_rc=i_lc, idx_lp=m, idx_rp=m,
+        uv_lc=f_lc.uv,
+        uv_rc=f_lc.uv - jnp.stack([disp_lc, jnp.zeros_like(disp_lc)], -1),
+        uv_lp=uv_lp,
+        uv_rp=uv_lp - jnp.stack([disp_lp, jnp.zeros_like(disp_lp)], -1),
+        valid=ok,
+    )
+    q = matching.remove_outliers(q, fc)
+    key, sub = jax.random.split(state.key)
+    res = ransac.estimate_stereo_motion(q, cfg.rig, fc, sub,
+                                        T_init=state.T_delta_prev)
+
+    use_est = state.initialized & res.ok
+    T_delta = jnp.where(use_est, res.T_delta, state.T_delta_prev)
+    T_delta = jnp.where(state.initialized, T_delta,
+                        jnp.eye(4, dtype=jnp.float32))
+    T_wc = state.T_wc @ lie.inv_T(T_delta)
+
+    new_state = FrontendState(
+        feats_l=f_lc,
+        feats_r=state.feats_r,
+        disp_l=disp_lc,
+        disp_r=state.disp_r,
+        T_wc=T_wc,
+        T_delta_prev=T_delta,
+        initialized=jnp.ones((), bool),
+        prior_ok=use_est,
+        key=key,
+        frame=state.frame + 1,
+    )
+    out = VOOutput(
+        T_wc=T_wc,
+        T_delta=T_delta,
+        num_inliers=res.num_inliers,
+        num_quads=jnp.sum(q.valid.astype(jnp.int32)),
+        tracking_ok=use_est | ~state.initialized,
+    )
+    return new_state, out
+
+
 def mono_vo_step(
     state: FrontendState,
     left: jax.Array,

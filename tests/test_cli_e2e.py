@@ -304,3 +304,50 @@ def test_cli_internal_odometry(kitti_dir, tmp_path):
     t_last = traj[-1][1][:3, 3]
     gt_last = poses[-1][:3, 3]
     assert np.linalg.norm(t_last - gt_last) < 0.25, (t_last, gt_last)
+
+
+def test_cli_tum_rgbd_e2e(tmp_path):
+    """TUM-layout RGB-D sequence through the full CLI (timestamped
+    associate pathway + rgbd sensor + fusion + trajectory)."""
+    import cv2
+
+    from denseslam_tpu.config import tiny_test_config
+    from denseslam_tpu.io.trajectory import load_tum
+    from denseslam_tpu.main import main
+
+    # TUM intrinsics are chosen by folder name (freiburg1, 640x480) —
+    # render the fixture at exactly that geometry
+    from denseslam_tpu.io.datasets import TUM_INTRINSICS
+    from denseslam_tpu.utils.camera import StereoRig
+    rig = StereoRig(TUM_INTRINSICS["fr1"], baseline_m=0.1)
+    cfg = tiny_test_config(width=640, height=480, baseline_m=0.1)
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, rig=rig)
+    root = str(tmp_path / "rgbd_dataset_freiburg1_synth")
+    os.makedirs(os.path.join(root, "rgb"))
+    os.makedirs(os.path.join(root, "depth"))
+    poses = synthetic.make_trajectory(5, step_m=0.03, yaw_rate=0.002)
+    for i in range(5):
+        T = jnp.asarray(poses[i])
+        left, right, depth = synthetic.render_stereo(T, cfg.rig)
+        t = 10.0 + i * 0.1
+        cv2.imwrite(os.path.join(root, "rgb", f"{t:.6f}.png"),
+                    np.asarray(left).astype(np.uint8))
+        d16 = np.clip(np.asarray(depth) * 5000.0, 0, 65535).astype(np.uint16)
+        cv2.imwrite(os.path.join(root, "depth", f"{t:.6f}.png"), d16)
+
+    rc = main([
+        "--dataset_root", root,
+        "--dataset_type", "tum",
+        "--sensor", "rgbd",
+        "--table_slots_log2", "13", "--max_visible_log2", "11",
+        "--voxel_size", "0.05", "--max_depth", "10",
+        "--save_trajectory", str(tmp_path / "tum_traj.txt"),
+        "--metrics_json", str(tmp_path / "m.json"), "--quiet",
+    ])
+    assert rc == 0
+    traj = load_tum(str(tmp_path / "tum_traj.txt"))
+    assert len(traj) == 5
+    with open(tmp_path / "m.json") as f:
+        m = json.load(f)
+    assert m["final_blocks"] > 20
