@@ -41,9 +41,17 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_VOL = 512
 
 TILE_H = 64
-TILE_W = 128
+TILE_W = 256
 BCHUNK = 8     # blocks per grid step
 NBUF = 4       # DMA pipeline depth
+
+# Mosaic only lowers HBM->VMEM tile DMAs whose origin is aligned to the
+# memref tiling — (8, 128) for i32 — so tile origins are snapped DOWN to
+# (ALIGN_V, ALIGN_U) multiples. The tile is sized so that any footprint
+# <= (TILE_H - ALIGN_V + 1, TILE_W - ALIGN_U + 1) px still fits after
+# snapping (worst-case origin shift is ALIGN-1 px).
+ALIGN_V = 8
+ALIGN_U = 128
 
 
 def _kernel(orig_ref, tuv_ref, img_ref, out_ref, tiles, sems):
@@ -55,9 +63,13 @@ def _kernel(orig_ref, tuv_ref, img_ref, out_ref, tiles, sems):
     i = pl.program_id(0)
 
     def get_dma(slot, b):
+        # orig packs the origin PRE-DIVIDED by the DMA alignment; the
+        # multiply here is how Mosaic *proves* the slice offsets are
+        # divisible by the (8, 128) memref tiling (a masked/aligned
+        # dynamic value is not statically provable, a multiple is).
         o = orig_ref[i * BCHUNK + b]
-        u0 = o & 0xFFFF
-        v0 = o >> 16
+        u0 = (o & 0xFFFF) * ALIGN_U
+        v0 = (o >> 16) * ALIGN_V
         return pltpu.make_async_copy(
             img_ref.at[pl.ds(v0, TILE_H), pl.ds(u0, TILE_W)],
             tiles.at[slot],
@@ -73,11 +85,11 @@ def _kernel(orig_ref, tuv_ref, img_ref, out_ref, tiles, sems):
         raw = tiles[slot]                                   # (TH, TW) i32
         # Split the packed 24-bit value into <2^8 planes: integers < 256
         # are exact in bf16, so the one-hot row-select matmul is exact on
-        # the MXU at ANY precision (each output has exactly one nonzero
-        # product; f32 accumulation of exact products is exact).
-        t_hi = jnp.right_shift(raw, 16).astype(jnp.float32)   # d_mm >> 8
-        t_mid = (jnp.right_shift(raw, 8) & 0xFF).astype(jnp.float32)
-        t_lo = (raw & 0xFF).astype(jnp.float32)               # gray
+        # the MXU in ONE native bf16 pass (each output has exactly one
+        # nonzero product; f32 accumulation of exact products is exact).
+        t_hi = jnp.right_shift(raw, 16).astype(jnp.bfloat16)  # d_mm >> 8
+        t_mid = (jnp.right_shift(raw, 8) & 0xFF).astype(jnp.bfloat16)
+        t_lo = (raw & 0xFF).astype(jnp.bfloat16)              # gray
         cat = jnp.concatenate([t_hi, t_mid, t_lo], axis=1)    # (TH, 3*TW)
 
         tuv = tuv_ref[b, :]                                 # (512,)
@@ -85,8 +97,9 @@ def _kernel(orig_ref, tuv_ref, img_ref, out_ref, tiles, sems):
         tv = jnp.right_shift(tuv, 16)
         inb = (tuv >= 0) & (tu < TILE_W) & (tv < TILE_H)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
-        onehot = (rows_i == tv[:, None]).astype(jnp.float32)
+        onehot = (rows_i == tv[:, None]).astype(jnp.bfloat16)
         rows = jax.lax.dot(onehot, cat,
+                           precision=jax.lax.Precision.DEFAULT,
                            preferred_element_type=jnp.float32)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
         cmask = (cols_i == tu[:, None]).astype(jnp.float32)
@@ -110,8 +123,8 @@ def _kernel_rgb(orig_ref, tuv_ref, img1_ref, img2_ref, out1_ref, out2_ref,
 
     def get_dmas(slot, b):
         o = orig_ref[i * BCHUNK + b]
-        u0 = o & 0xFFFF
-        v0 = o >> 16
+        u0 = (o & 0xFFFF) * ALIGN_U        # pre-divided: see _kernel
+        v0 = (o >> 16) * ALIGN_V
         src1 = img1_ref.at[pl.ds(v0, TILE_H), pl.ds(u0, TILE_W)]
         src2 = img2_ref.at[pl.ds(v0, TILE_H), pl.ds(u0, TILE_W)]
         return (pltpu.make_async_copy(src1, tiles1.at[slot], sems.at[slot, 0]),
@@ -127,11 +140,11 @@ def _kernel_rgb(orig_ref, tuv_ref, img1_ref, img2_ref, out1_ref, out2_ref,
             d.wait()
         raw1 = tiles1[slot]
         raw2 = tiles2[slot]
-        d_lo = (raw1 & 0xFF).astype(jnp.float32)
-        d_hi = (jnp.right_shift(raw1, 8) & 0xFF).astype(jnp.float32)
-        r_ = (jnp.right_shift(raw1, 16) & 0xFF).astype(jnp.float32)
-        g_ = (raw2 & 0xFF).astype(jnp.float32)
-        b_ = (jnp.right_shift(raw2, 8) & 0xFF).astype(jnp.float32)
+        d_lo = (raw1 & 0xFF).astype(jnp.bfloat16)
+        d_hi = (jnp.right_shift(raw1, 8) & 0xFF).astype(jnp.bfloat16)
+        r_ = (jnp.right_shift(raw1, 16) & 0xFF).astype(jnp.bfloat16)
+        g_ = (raw2 & 0xFF).astype(jnp.bfloat16)
+        b_ = (jnp.right_shift(raw2, 8) & 0xFF).astype(jnp.bfloat16)
         cat = jnp.concatenate([d_hi, d_lo, r_, g_, b_], axis=1)  # (TH, 5*TW)
 
         tuv = tuv_ref[b, :]
@@ -139,8 +152,10 @@ def _kernel_rgb(orig_ref, tuv_ref, img1_ref, img2_ref, out1_ref, out2_ref,
         tv = jnp.right_shift(tuv, 16)
         inb = (tuv >= 0) & (tu < TILE_W) & (tv < TILE_H)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
-        onehot = (rows_i == tv[:, None]).astype(jnp.float32)
-        rows = jax.lax.dot(onehot, cat, preferred_element_type=jnp.float32)
+        onehot = (rows_i == tv[:, None]).astype(jnp.bfloat16)
+        rows = jax.lax.dot(onehot, cat,
+                           precision=jax.lax.Precision.DEFAULT,
+                           preferred_element_type=jnp.float32)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
         cmask = (cols_i == tu[:, None]).astype(jnp.float32)
 
@@ -217,8 +232,8 @@ def _tile_sample_call(img_padded, orig, tuv, *, interpret: bool):
 
 def _pad_image(combo: jax.Array) -> jax.Array:
     h, w = combo.shape
-    hp = max(h, TILE_H)
-    wp = max(-(-w // 128) * 128, TILE_W)
+    hp = max(-(-h // ALIGN_V) * ALIGN_V, TILE_H)
+    wp = max(-(-w // ALIGN_U) * ALIGN_U, TILE_W)
     if (hp, wp) != (h, w):
         combo = jnp.pad(combo, ((0, hp - h), (0, wp - w)))
     return combo
@@ -267,12 +282,22 @@ def _tiling(img, u, v, z, width, height):
     u_max = jnp.max(jnp.where(inb, ui, -big), axis=1)
     v_max = jnp.max(jnp.where(inb, vi, -big), axis=1)
     any_in = u_min <= u_max
+    # Tile origins snapped DOWN to the DMA alignment (Mosaic requires
+    # slice offsets divisible by the (8, 128) memref tiling). The padded
+    # extents hp/wp are ALIGN multiples, so the clipped origins stay
+    # aligned. Overflow is judged against the ALIGNED origin: a footprint
+    # that would fit unaligned but straddles the snapped window falls back
+    # to the XLA gather like any other oversized block.
+    u0 = jnp.clip(jnp.where(any_in, u_min, 0) & ~(ALIGN_U - 1),
+                  0, wp - TILE_W)
+    v0 = jnp.clip(jnp.where(any_in, v_min, 0) & ~(ALIGN_V - 1),
+                  0, hp - TILE_H)
     overflow = any_in & (
-        ((u_max - u_min) >= TILE_W) | ((v_max - v_min) >= TILE_H)
+        ((u_max - u0) >= TILE_W) | ((v_max - v0) >= TILE_H)
     )
-    u0 = jnp.clip(jnp.where(any_in, u_min, 0), 0, wp - TILE_W)
-    v0 = jnp.clip(jnp.where(any_in, v_min, 0), 0, hp - TILE_H)
-    orig = (u0 | (v0 << 16)).astype(jnp.int32)
+    # packed PRE-DIVIDED by the alignment so the kernel reconstructs the
+    # offsets as provable multiples (Mosaic divisibility analysis)
+    orig = ((u0 // ALIGN_U) | ((v0 // ALIGN_V) << 16)).astype(jnp.int32)
 
     tu = ui - u0[:, None]
     tv = vi - v0[:, None]

@@ -46,13 +46,16 @@ def bench_scan(name, fn, xs, n_iters, reps=3, carry_in=None):
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
         return acc
 
-    out = run(carry_in, xs)
-    jax.block_until_ready(out)
+    # Sync by fetching the scalar (block_until_ready can return before the
+    # tunneled remote execution completes — verify SKILL.md methodology).
+    float(jax.device_get(run(carry_in, xs)))
     ts = []
-    for _ in range(reps):
+    for r in range(reps):
+        # vary the input each rep: the runtime dedupes identical dispatches
+        xs_r = xs + jnp.asarray(r * 1e-6, dtype=xs.dtype)
         t0 = time.perf_counter()
-        out = run(carry_in, xs)
-        jax.block_until_ready(out)
+        out = run(carry_in, xs_r)
+        float(jax.device_get(out))
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
     print("%-24s %8.2f ms/frame  (%6.1f fps)" % (name, dt / n_iters * 1e3, n_iters / dt))
@@ -123,15 +126,14 @@ def main():
             st, vo = fe.vo_step(st, fr[0], fr[1], cfg)
             return st, vo.T_wc
         st, Touts = jax.lax.scan(body, st, (ls, rs))
-        return Touts
+        return Touts.sum()
 
-    out = vo_scan(st0, lefts, rights)
-    jax.block_until_ready(out)
+    float(jax.device_get(vo_scan(st0, lefts, rights)))
     ts = []
-    for _ in range(3):
+    for r in range(3):
         t0 = time.perf_counter()
-        out = vo_scan(st0, lefts, rights)
-        jax.block_until_ready(out)
+        out = vo_scan(st0, lefts + jnp.float32(r * 1e-6), rights)
+        float(jax.device_get(out))
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
     print("%-24s %8.2f ms/frame  (%6.1f fps)" % ("sparse VO", dt / n * 1e3, n / dt))
@@ -149,13 +151,12 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), (ds, Ts))
         return acc
 
-    out = icp_scan(rc, depths, Ts)
-    jax.block_until_ready(out)
+    float(jax.device_get(icp_scan(rc, depths, Ts)))
     ts = []
-    for _ in range(3):
+    for r in range(3):
         t0 = time.perf_counter()
-        out = icp_scan(rc, depths, Ts)
-        jax.block_until_ready(out)
+        out = icp_scan(rc, depths + jnp.float32(r * 1e-6), Ts)
+        float(jax.device_get(out))
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
     print("%-24s %8.2f ms/frame  (%6.1f fps)" % ("ICP track", dt / n * 1e3, n / dt))

@@ -46,7 +46,7 @@ def test_tile_sample_matches_direct_indexing():
 
 def test_tile_sample_overflow_flag_and_fallback():
     rng = np.random.default_rng(1)
-    H, W = 200, 256
+    H, W = 200, 2 * sampling.TILE_W
     nblk = 8
     combo = ((rng.integers(1, 60000, (H, W)) << 8)
              | rng.integers(0, 256, (H, W))).astype(np.int32)
