@@ -30,7 +30,7 @@ import jax.numpy as jnp
 def main(argv=None) -> None:
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sampler", default="gather",
+    ap.add_argument("--sampler", default="pallas",
                     choices=["gather", "pallas"])
     ap.add_argument("--storage", default="float32",
                     choices=["float32", "bfloat16"])

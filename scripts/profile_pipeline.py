@@ -110,14 +110,7 @@ def main():
         Ts, n, carry_in=m,
     )
 
-    # 2) stereo depth (SGM) varying frames
-    bench_scan(
-        "stereo depth",
-        lambda _, lr: stereo_ops.compute_depth(lr[0], lr[1], rig, cfg.stereo)[0].sum(),
-        jnp.stack([lefts, rights], axis=1), n,
-    )
-
-    # 3) sparse VO step: full vo_step over consecutive pairs
+    # 2) sparse VO step: full vo_step over consecutive pairs
     st0 = fe.init_frontend(cfg, seed=0)
 
     @jax.jit
@@ -160,6 +153,14 @@ def main():
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
     print("%-24s %8.2f ms/frame  (%6.1f fps)" % ("ICP track", dt / n * 1e3, n / dt))
+
+    # LAST (standalone SGM scan has OOMed at compile before — ROADMAP):
+    # stereo depth varying frames
+    bench_scan(
+        "stereo depth",
+        lambda _, lr: stereo_ops.compute_depth(lr[0], lr[1], rig, cfg.stereo)[0].sum(),
+        jnp.stack([lefts, rights], axis=1), n,
+    )
 
     print("tiny: %.3f ms" % tiny_ms())
 
