@@ -43,7 +43,7 @@ def main() -> None:
     tsdf = TsdfConfig(
         voxel_size_m=0.06, trunc_dist_m=0.24, table_slots=1 << 17,
         max_visible_blocks=1 << 13, max_alloc_per_frame=1 << 13,
-        max_depth_m=50.0, alloc_subsample=2,
+        max_depth_m=50.0, alloc_subsample=2, sampler="pallas",
     )
     cfg = SystemConfig(
         rig=rig, tsdf=tsdf,
@@ -59,12 +59,23 @@ def main() -> None:
     )
 
     chunk = 10
-    n_chunks = 4
+    n_chunks = 4   # 40 frames: the street-corridor trajectory stays within
+                   # the 8192 visible/alloc caps (60 frames overflows)
+    n_warm = 2     # chunk 0 compiles; chunk 1 still pays one-time input
+                   # materialisation on the tunneled runtime (measured 15 s
+                   # vs the 1.1 s steady state) — time chunks 2+ only
     poses = synthetic.make_trajectory(n_chunks * chunk, step_m=0.4,
                                       yaw_rate=0.003)
     scene = synthetic.street_scene()
     lefts, rights, _ = synthetic.render_stereo_trajectory(poses, rig, scene)
-    jax.block_until_ready(lefts)
+
+    # pre-slice all chunk inputs OUTSIDE the timed loop (an in-loop slice is
+    # an extra eager dispatch per chunk on this runtime)
+    L = [lefts[i * chunk:(i + 1) * chunk] for i in range(n_chunks)]
+    R = [rights[i * chunk:(i + 1) * chunk] for i in range(n_chunks)]
+    F = [jnp.arange(chunk, dtype=jnp.int32) + jnp.int32(i * chunk)
+         for i in range(n_chunks)]
+    jax.block_until_ready((L, R, F))
 
     st = fe.init_frontend(cfg, seed=0)
     m = tsdf_ops.make_map(cfg.tsdf)
@@ -75,19 +86,16 @@ def main() -> None:
     )
 
     count = jax.jit(tsdf_ops.num_allocated_blocks)
-    fids = jnp.arange(chunk, dtype=jnp.int32)
-    st, m, db, stats = f(st, m, db, lefts[:chunk], rights[:chunk], fids)
-    float(jax.device_get(count(m)))  # readback = real execution barrier
+    for i in range(n_warm):
+        st, m, db, stats = f(st, m, db, L[i], R[i], F[i])
+        float(jax.device_get(count(m)))  # readback = real execution barrier
 
     t0 = time.perf_counter()
-    n_ok = 0
-    for i in range(1, n_chunks):
-        st, m, db, stats = f(
-            st, m, db, lefts[i * chunk:(i + 1) * chunk],
-            rights[i * chunk:(i + 1) * chunk], fids + jnp.int32(i * chunk))
+    for i in range(n_warm, n_chunks):
+        st, m, db, stats = f(st, m, db, L[i], R[i], F[i])
     float(jax.device_get(count(m)))
     dt = time.perf_counter() - t0
-    fps = (n_chunks - 1) * chunk / dt
+    fps = (n_chunks - n_warm) * chunk / dt
 
     ok = np.asarray(jax.device_get(stats["tracking_ok"]))
     overflow = int(jax.device_get(m.overflow))
