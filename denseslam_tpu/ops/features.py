@@ -276,11 +276,12 @@ def bucket(feats: Features, width: int, height: int, cfg: FrontendConfig) -> Fea
     same_as_prev = jnp.concatenate(
         [jnp.zeros((1,), bool), sorted_cell[1:] == sorted_cell[:-1]]
     )
-    # rank via segmented cumulative count
-    def body(carry, same):
-        rank = jnp.where(same, carry + 1, 0)
-        return rank, rank
-    _, ranks_sorted = jax.lax.scan(body, jnp.int32(0), same_as_prev)
+    # rank = offset from the start of the feature's cell run. A serial
+    # lax.scan here costs ~1.7 ms/frame on TPU (2048 sequential scalar
+    # steps); cummax of the run-start indices is one parallel pass.
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(same_as_prev, 0, idxs))
+    ranks_sorted = idxs - run_start
     ranks = jnp.zeros((n,), jnp.int32).at[order].set(ranks_sorted)
     keep = feats.valid & (ranks < cfg.max_per_bucket)
     return feats._replace(valid=keep)

@@ -42,7 +42,7 @@ BLOCK_VOL = 512
 
 TILE_H = 64
 TILE_W = 256
-BCHUNK = 8     # blocks per grid step
+BCHUNK = 32    # blocks per grid step (large: amortises grid-step overhead)
 NBUF = 4       # DMA pipeline depth
 
 # Mosaic only lowers HBM->VMEM tile DMAs whose origin is aligned to the
@@ -76,42 +76,65 @@ def _kernel(orig_ref, tuv_ref, img_ref, out_ref, tiles, sems):
             sems.at[slot],
         )
 
+    def start_dma(slot, b):
+        # orig < 0 marks a block with no in-bounds voxels — skip its DMA
+        # and MXU work entirely (typically ~half the static cap)
+        @pl.when(orig_ref[i * BCHUNK + b] >= 0)
+        def _():
+            get_dma(slot, b).start()
+
     for b in range(min(NBUF, BCHUNK)):
-        get_dma(b % NBUF, b).start()
+        start_dma(b % NBUF, b)
 
     for b in range(BCHUNK):
         slot = b % NBUF
-        get_dma(slot, b).wait()
-        raw = tiles[slot]                                   # (TH, TW) i32
-        # Split the packed 24-bit value into <2^8 planes: integers < 256
-        # are exact in bf16, so the one-hot row-select matmul is exact on
-        # the MXU in ONE native bf16 pass (each output has exactly one
-        # nonzero product; f32 accumulation of exact products is exact).
-        t_hi = jnp.right_shift(raw, 16).astype(jnp.bfloat16)  # d_mm >> 8
-        t_mid = (jnp.right_shift(raw, 8) & 0xFF).astype(jnp.bfloat16)
-        t_lo = (raw & 0xFF).astype(jnp.bfloat16)              # gray
-        cat = jnp.concatenate([t_hi, t_mid, t_lo], axis=1)    # (TH, 3*TW)
+        live = orig_ref[i * BCHUNK + b] >= 0
 
-        tuv = tuv_ref[b, :]                                 # (512,)
-        tu = tuv & 0xFFFF
-        tv = jnp.right_shift(tuv, 16)
-        inb = (tuv >= 0) & (tu < TILE_W) & (tv < TILE_H)
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
-        onehot = (rows_i == tv[:, None]).astype(jnp.bfloat16)
-        rows = jax.lax.dot(onehot, cat,
-                           precision=jax.lax.Precision.DEFAULT,
-                           preferred_element_type=jnp.float32)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
-        cmask = (cols_i == tu[:, None]).astype(jnp.float32)
-        hi = jnp.sum(rows[:, :TILE_W] * cmask, axis=1)
-        mid = jnp.sum(rows[:, TILE_W:2 * TILE_W] * cmask, axis=1)
-        lo = jnp.sum(rows[:, 2 * TILE_W:] * cmask, axis=1)
-        packed = hi * 65536.0 + mid * 256.0 + lo            # < 2^24: exact f32
-        out_ref[b, :] = jnp.where(inb, packed, 0.0).astype(jnp.int32)
+        @pl.when(live)
+        def _wait(slot=slot, b=b):
+            get_dma(slot, b).wait()
 
+        @pl.when(jnp.logical_not(live))
+        def _zero(b=b):
+            out_ref[b, :] = jnp.zeros((BLOCK_VOL,), jnp.int32)
+
+        @pl.when(live)
+        def _compute(slot=slot, b=b):
+            _sample_block(tiles, tuv_ref, out_ref, slot, b)
+
+        # refill the slot only AFTER the compute consumed it
         nxt = b + NBUF
         if nxt < BCHUNK:
-            get_dma(slot, nxt).start()
+            start_dma(slot, nxt)
+
+
+def _sample_block(tiles, tuv_ref, out_ref, slot, b):
+    raw = tiles[slot]                                   # (TH, TW) i32
+    # Split the packed 24-bit value into <2^8 planes: integers < 256
+    # are exact in bf16, so the one-hot row-select matmul is exact on
+    # the MXU in ONE native bf16 pass (each output has exactly one
+    # nonzero product; f32 accumulation of exact products is exact).
+    t_hi = jnp.right_shift(raw, 16).astype(jnp.bfloat16)  # d_mm >> 8
+    t_mid = (jnp.right_shift(raw, 8) & 0xFF).astype(jnp.bfloat16)
+    t_lo = (raw & 0xFF).astype(jnp.bfloat16)              # gray
+    cat = jnp.concatenate([t_hi, t_mid, t_lo], axis=1)    # (TH, 3*TW)
+
+    tuv = tuv_ref[b, :]                                 # (512,)
+    tu = tuv & 0xFFFF
+    tv = jnp.right_shift(tuv, 16)
+    inb = (tuv >= 0) & (tu < TILE_W) & (tv < TILE_H)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
+    onehot = (rows_i == tv[:, None]).astype(jnp.bfloat16)
+    rows = jax.lax.dot(onehot, cat,
+                       precision=jax.lax.Precision.DEFAULT,
+                       preferred_element_type=jnp.float32)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
+    cmask = (cols_i == tu[:, None]).astype(jnp.float32)
+    hi = jnp.sum(rows[:, :TILE_W] * cmask, axis=1)
+    mid = jnp.sum(rows[:, TILE_W:2 * TILE_W] * cmask, axis=1)
+    lo = jnp.sum(rows[:, 2 * TILE_W:] * cmask, axis=1)
+    packed = hi * 65536.0 + mid * 256.0 + lo            # < 2^24: exact f32
+    out_ref[b, :] = jnp.where(inb, packed, 0.0).astype(jnp.int32)
 
 
 def _kernel_rgb(orig_ref, tuv_ref, img1_ref, img2_ref, out1_ref, out2_ref,
@@ -130,49 +153,72 @@ def _kernel_rgb(orig_ref, tuv_ref, img1_ref, img2_ref, out1_ref, out2_ref,
         return (pltpu.make_async_copy(src1, tiles1.at[slot], sems.at[slot, 0]),
                 pltpu.make_async_copy(src2, tiles2.at[slot], sems.at[slot, 1]))
 
+    def start_dmas(slot, b):
+        @pl.when(orig_ref[i * BCHUNK + b] >= 0)
+        def _():
+            for d in get_dmas(slot, b):
+                d.start()
+
     for b in range(min(NBUF, BCHUNK)):
-        for d in get_dmas(b % NBUF, b):
-            d.start()
+        start_dmas(b % NBUF, b)
 
     for b in range(BCHUNK):
         slot = b % NBUF
-        for d in get_dmas(slot, b):
-            d.wait()
-        raw1 = tiles1[slot]
-        raw2 = tiles2[slot]
-        d_lo = (raw1 & 0xFF).astype(jnp.bfloat16)
-        d_hi = (jnp.right_shift(raw1, 8) & 0xFF).astype(jnp.bfloat16)
-        r_ = (jnp.right_shift(raw1, 16) & 0xFF).astype(jnp.bfloat16)
-        g_ = (raw2 & 0xFF).astype(jnp.bfloat16)
-        b_ = (jnp.right_shift(raw2, 8) & 0xFF).astype(jnp.bfloat16)
-        cat = jnp.concatenate([d_hi, d_lo, r_, g_, b_], axis=1)  # (TH, 5*TW)
+        live = orig_ref[i * BCHUNK + b] >= 0
 
-        tuv = tuv_ref[b, :]
-        tu = tuv & 0xFFFF
-        tv = jnp.right_shift(tuv, 16)
-        inb = (tuv >= 0) & (tu < TILE_W) & (tv < TILE_H)
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
-        onehot = (rows_i == tv[:, None]).astype(jnp.bfloat16)
-        rows = jax.lax.dot(onehot, cat,
-                           precision=jax.lax.Precision.DEFAULT,
-                           preferred_element_type=jnp.float32)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
-        cmask = (cols_i == tu[:, None]).astype(jnp.float32)
+        @pl.when(live)
+        def _wait(slot=slot, b=b):
+            for d in get_dmas(slot, b):
+                d.wait()
 
-        def sel(k):
-            return jnp.sum(rows[:, k * TILE_W:(k + 1) * TILE_W] * cmask,
-                           axis=1)
+        @pl.when(jnp.logical_not(live))
+        def _zero(b=b):
+            out1_ref[b, :] = jnp.zeros((BLOCK_VOL,), jnp.int32)
+            out2_ref[b, :] = jnp.zeros((BLOCK_VOL,), jnp.int32)
 
-        d_mm = sel(0) * 256.0 + sel(1)
-        out1 = d_mm * 256.0 + sel(2)                         # < 2^24
-        out2 = sel(3) * 256.0 + sel(4)                       # < 2^16
-        out1_ref[b, :] = jnp.where(inb, out1, 0.0).astype(jnp.int32)
-        out2_ref[b, :] = jnp.where(inb, out2, 0.0).astype(jnp.int32)
+        @pl.when(live)
+        def _compute(slot=slot, b=b):
+            _sample_block_rgb(tiles1, tiles2, tuv_ref, out1_ref, out2_ref,
+                              slot, b)
 
+        # refill the slot only AFTER the compute consumed it
         nxt = b + NBUF
         if nxt < BCHUNK:
-            for d in get_dmas(slot, nxt):
-                d.start()
+            start_dmas(slot, nxt)
+
+
+def _sample_block_rgb(tiles1, tiles2, tuv_ref, out1_ref, out2_ref, slot, b):
+    raw1 = tiles1[slot]
+    raw2 = tiles2[slot]
+    d_lo = (raw1 & 0xFF).astype(jnp.bfloat16)
+    d_hi = (jnp.right_shift(raw1, 8) & 0xFF).astype(jnp.bfloat16)
+    r_ = (jnp.right_shift(raw1, 16) & 0xFF).astype(jnp.bfloat16)
+    g_ = (raw2 & 0xFF).astype(jnp.bfloat16)
+    b_ = (jnp.right_shift(raw2, 8) & 0xFF).astype(jnp.bfloat16)
+    cat = jnp.concatenate([d_hi, d_lo, r_, g_, b_], axis=1)  # (TH, 5*TW)
+
+    tuv = tuv_ref[b, :]
+    tu = tuv & 0xFFFF
+    tv = jnp.right_shift(tuv, 16)
+    inb = (tuv >= 0) & (tu < TILE_W) & (tv < TILE_H)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
+    onehot = (rows_i == tv[:, None]).astype(jnp.bfloat16)
+    rows = jax.lax.dot(onehot, cat,
+                       precision=jax.lax.Precision.DEFAULT,
+                       preferred_element_type=jnp.float32)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
+    cmask = (cols_i == tu[:, None]).astype(jnp.float32)
+
+    def sel(k):
+        return jnp.sum(rows[:, k * TILE_W:(k + 1) * TILE_W] * cmask,
+                       axis=1)
+
+    d_mm = sel(0) * 256.0 + sel(1)
+    out1 = d_mm * 256.0 + sel(2)                         # < 2^24
+    out2 = sel(3) * 256.0 + sel(4)                       # < 2^16
+    out1_ref[b, :] = jnp.where(inb, out1, 0.0).astype(jnp.int32)
+    out2_ref[b, :] = jnp.where(inb, out2, 0.0).astype(jnp.int32)
+
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -256,12 +302,25 @@ def tile_sample(
     tile — the caller must resolve those voxels another way. d_mm is the
     EXACT integer mm value as f32 (same quantisation as the XLA packed
     path, so de-integration replays identically)."""
+    nblk = u.shape[0]
+    u, v, z = _pad_blocks(u, v, z)
     orig, tuv, fits, overflow, combo_p = _tiling(combo, u, v, z, width,
                                                  height)
     out = _tile_sample_call(combo_p, orig, tuv, interpret=interpret)
     d_mm = jnp.right_shift(out, 8).astype(jnp.float32)
     gray = (out & 0xFF).astype(jnp.float32)
-    return d_mm, gray, fits, overflow
+    return d_mm[:nblk], gray[:nblk], fits[:nblk], overflow[:nblk]
+
+
+def _pad_blocks(u, v, z):
+    """Pad the block axis to a BCHUNK multiple (padded rows have z=0 so
+    they tile as empty: orig=-1, skipped by the kernel)."""
+    pad = (-u.shape[0]) % BCHUNK
+    if pad:
+        u = jnp.pad(u, ((0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0)))
+        z = jnp.pad(z, ((0, pad), (0, 0)))
+    return u, v, z
 
 
 def _tiling(img, u, v, z, width, height):
@@ -296,8 +355,14 @@ def _tiling(img, u, v, z, width, height):
         ((u_max - u0) >= TILE_W) | ((v_max - v0) >= TILE_H)
     )
     # packed PRE-DIVIDED by the alignment so the kernel reconstructs the
-    # offsets as provable multiples (Mosaic divisibility analysis)
-    orig = ((u0 // ALIGN_U) | ((v0 // ALIGN_V) << 16)).astype(jnp.int32)
+    # offsets as provable multiples (Mosaic divisibility analysis);
+    # -1 marks a block with no in-bounds voxels — the kernel skips its
+    # DMA and compute entirely
+    orig = jnp.where(
+        any_in,
+        (u0 // ALIGN_U) | ((v0 // ALIGN_V) << 16),
+        -1,
+    ).astype(jnp.int32)
 
     tu = ui - u0[:, None]
     tv = vi - v0[:, None]
@@ -319,6 +384,8 @@ def tile_sample_rgb(
 ):
     """True-RGB variant of `tile_sample` (two packed images, two tile DMAs
     per block). Returns (d_mm, r, g, b, sampled_ok, overflow)."""
+    nblk = u.shape[0]
+    u, v, z = _pad_blocks(u, v, z)
     orig, tuv, fits, overflow, img1_p = _tiling(depth_r, u, v, z, width,
                                                 height)
     img2_p = _pad_image(g_b)
@@ -328,7 +395,8 @@ def tile_sample_rgb(
     r = (out1 & 0xFF).astype(jnp.float32)
     g = jnp.right_shift(out2, 8).astype(jnp.float32)
     b = (out2 & 0xFF).astype(jnp.float32)
-    return d_mm, r, g, b, fits, overflow
+    return (d_mm[:nblk], r[:nblk], g[:nblk], b[:nblk], fits[:nblk],
+            overflow[:nblk])
 
 
 def gather_fallback(
