@@ -167,6 +167,12 @@ class StereoConfig:
     sgm_p2: float = 96.0
     lr_check_px: float = 1.5
     use_sgm: bool = True
+    # cost-volume dtype for the SGM aggregation passes. "bfloat16" halves
+    # the HBM traffic of the dominant full-volume scans (the volume is
+    # 232 MB at KITTI res in f32); WTA/subpixel still read the aggregated
+    # volume in its storage dtype, so subpixel precision degrades slightly
+    # (measure with eval/depth_metrics before flipping a deployment).
+    cost_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,8 +91,10 @@ def sgm_aggregate(cost: jax.Array, cfg: StereoConfig) -> jax.Array:
     Each path is one lax.scan along its axis over (slab, D) slices; the
     disparity-smoothness shifts are lane-local."""
     h, w, d = cost.shape
-    p1 = jnp.float32(cfg.sgm_p1)
-    p2 = jnp.float32(cfg.sgm_p2)
+    # constants in the COST dtype — f32 literals would silently upcast a
+    # bf16 volume scan back to f32
+    p1 = jnp.asarray(cfg.sgm_p1, cost.dtype)
+    p2 = jnp.asarray(cfg.sgm_p2, cost.dtype)
 
     def path_scan(vol, reverse=False):       # vol: (T, S, D) scan over T
         def step(prev, cur):
@@ -142,7 +144,9 @@ def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
     Returns (disp (H, W) f32, valid (H, W) bool)."""
     h, w, d = cost.shape
     best = jnp.argmin(cost, axis=-1).astype(jnp.int32)      # (H, W)
-    cmin = jnp.min(cost, axis=-1)
+    # volume passes stay in the storage dtype (bf16 option halves their
+    # HBM traffic); only the (H, W) per-pixel results upcast
+    cmin = jnp.min(cost, axis=-1).astype(jnp.float32)
 
     # parabolic subpixel around the winner. take_along_axis on the volume
     # is a lane-dynamic select that costs a full-volume pass EACH (~7.5 ms
@@ -152,8 +156,11 @@ def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
     # they are rejected by `valid` below either way.
     lane = jax.lax.broadcasted_iota(jnp.int32, (h, w, d), 2)
     bm = best[..., None]
-    c0 = jnp.sum(jnp.where(lane == bm - 1, cost, 0.0), axis=-1)
-    c2 = jnp.sum(jnp.where(lane == bm + 1, cost, 0.0), axis=-1)
+    zero = jnp.zeros((), cost.dtype)
+    c0 = jnp.sum(jnp.where(lane == bm - 1, cost, zero), axis=-1,
+                 dtype=jnp.float32)
+    c2 = jnp.sum(jnp.where(lane == bm + 1, cost, zero), axis=-1,
+                 dtype=jnp.float32)
     denom = c0 - 2.0 * cmin + c2
     sub = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / denom, 0.0)
     disp = best.astype(jnp.float32) + jnp.clip(sub, -0.5, 0.5)
@@ -161,13 +168,14 @@ def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
     # left-right check. cost_R(x, d) = cost_L(x + d, d) is a shear of the
     # left volume: D static column shifts with a running argmin (pure VPU,
     # no volume-sized gather).
-    best_r_val = jnp.full((h, w), jnp.float32(_BIG))
+    big = jnp.asarray(_BIG, cost.dtype)
+    best_r_val = jnp.full((h, w), big)
     best_r = jnp.zeros((h, w), jnp.int32)
     for dd in range(d):
         slab = cost[..., dd]
         if dd > 0:
             slab = jnp.concatenate(
-                [slab[:, dd:], jnp.full((h, dd), jnp.float32(_BIG))], axis=1)
+                [slab[:, dd:], jnp.full((h, dd), big)], axis=1)
         better = slab < best_r_val
         best_r_val = jnp.where(better, slab, best_r_val)
         best_r = jnp.where(better, dd, best_r)
@@ -189,6 +197,8 @@ def compute_depth(left: jax.Array, right: jax.Array, rig: StereoRig,
                   max_depth_m: float = 60.0) -> Tuple[jax.Array, jax.Array]:
     """Full stereo pipeline: gray pair -> (depth_m, valid)."""
     cost = cost_volume(left, right, cfg)
+    if cfg.cost_dtype == "bfloat16":
+        cost = cost.astype(jnp.bfloat16)
     if cfg.use_sgm:
         cost = sgm_aggregate(cost, cfg)
     disp, valid = disparity_from_cost(cost, cfg)

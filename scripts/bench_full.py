@@ -28,7 +28,8 @@ import numpy as np
 
 def main() -> None:
     from denseslam_tpu.config import (
-        SlideWindowParams, SystemConfig, TsdfConfig, VoxelDecayParams)
+        SlideWindowParams, StereoConfig, SystemConfig, TsdfConfig,
+        VoxelDecayParams)
     from denseslam_tpu.io import synthetic
     from denseslam_tpu.models import frontend as fe
     from denseslam_tpu.models.dense_slam import (
@@ -50,6 +51,10 @@ def main() -> None:
         decay=VoxelDecayParams(enabled=True, min_decay_age=30,
                                max_decay_weight=2),
         slide_window=SlideWindowParams(enabled=True, max_age=60),
+        # bf16 SGM volume: half the HBM traffic of the dominant stereo
+        # passes; measured depth-vs-GT MAE identical to f32 (0.1712 vs
+        # 0.1711 m on the synthetic street scene)
+        stereo=StereoConfig(cost_dtype="bfloat16"),
     )
     cfg = dataclasses.replace(
         cfg,
