@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import BackendConfig
 from ..utils import lie
+from .smallsolve import inv3x3
 from ..utils.camera import StereoRig
 
 
@@ -147,7 +148,7 @@ def solve(problem: BAProblem, rig: StereoRig, cfg: BackendConfig,
                 jax.vmap(jnp.diag)(V).max(axis=-1), 1e-3)[:, None]
             V = V + damp_p[..., None] * jnp.eye(3, dtype=V.dtype)
 
-            Vinv = jnp.linalg.inv(V)
+            Vinv = inv3x3(V)   # batched closed form — avoids the linalg custom-call
             WVinv = jnp.einsum("lkij,ljm->lkim", W, Vinv)
             # Schur: S = blockdiag(U) - sum_l W Vinv W^T
             S = -allsum(jnp.einsum("lkim,lqjm->kqij", WVinv, W))

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..config import TsdfConfig
 from ..utils import lie
+from .smallsolve import solve_spd6
 from ..utils.camera import Intrinsics
 
 
@@ -138,7 +139,7 @@ def track(
         JTJ = Jw.T @ J
         JTr = Jw.T @ r
         damp = 1e-6 * jnp.trace(JTJ) + 1e-8
-        xi = -jnp.linalg.solve(JTJ + damp * jnp.eye(6, dtype=JTJ.dtype), JTr)
+        xi = -solve_spd6(JTJ + damp * jnp.eye(6, dtype=JTJ.dtype), JTr)
 
         n_in = jnp.sum(wgt)
         enough = n_in >= min_inliers

@@ -26,6 +26,7 @@ from ..config import FrontendConfig
 from ..utils import lie
 from ..utils.camera import StereoRig
 from .matching import QuadMatches
+from .smallsolve import solve_spd6
 
 
 class VOResult(NamedTuple):
@@ -111,7 +112,7 @@ def _gn_refine(T0, pts_prev, obs_l, obs_r, weights, rig, iters: int):
         A = jnp.einsum("nri,nrj->ij", JTw, J)
         b = jnp.einsum("nri,nr->i", JTw, r)
         damp = 1e-6 * jnp.trace(A) + 1e-9
-        xi = -jnp.linalg.solve(A + damp * jnp.eye(6, dtype=A.dtype), b)
+        xi = -solve_spd6(A + damp * jnp.eye(6, dtype=A.dtype), b)
         # guard divergent steps
         xi = jnp.clip(xi, -0.5, 0.5)
         return lie.se3_exp(xi) @ T

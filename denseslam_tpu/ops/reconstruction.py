@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..utils import lie
 from ..utils.camera import Intrinsics
+from .smallsolve import solve3x3
 
 
 class Tracks(NamedTuple):
@@ -79,7 +80,7 @@ def triangulate_tracks(tracks: Tracks, intr: Intrinsics,
     bz = a13 * cx_ + a23 * cy_ + a33 * cz_
     b = jnp.stack([jnp.sum(m * bx, 1), jnp.sum(m * by, 1), jnp.sum(m * bz, 1)], -1)
     eye = jnp.eye(3)[None]
-    p0 = jnp.linalg.solve(A + 1e-6 * eye, b[..., None])[..., 0]   # (L, 3)
+    p0 = solve3x3(A + 1e-6 * eye, b)                              # (L, 3)
 
     # GN refinement on reprojection residuals
     def residuals(p):
@@ -104,7 +105,7 @@ def triangulate_tracks(tracks: Tracks, intr: Intrinsics,
              + jnp.einsum("lki,lkj->lij", Jv * w, Jv))
         g = (jnp.einsum("lki,lk->li", Ju * w, ru)
              + jnp.einsum("lki,lk->li", Jv * w, rv))
-        dp = -jnp.linalg.solve(H + 1e-5 * jnp.eye(3)[None], g[..., None])[..., 0]
+        dp = -solve3x3(H + 1e-5 * jnp.eye(3)[None], g)
         return p + jnp.clip(dp, -1.0, 1.0)
 
     p = jax.lax.fori_loop(0, gn_iters, gn, p0)

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 def main() -> None:
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace_full"
     from denseslam_tpu.config import (
-        SlideWindowParams, SystemConfig, TsdfConfig, VoxelDecayParams)
+        SlideWindowParams, StereoConfig, SystemConfig, TsdfConfig,
+        VoxelDecayParams)
     from denseslam_tpu.io import synthetic
     from denseslam_tpu.models import frontend as fe
     from denseslam_tpu.models.dense_slam import (
@@ -48,6 +49,7 @@ def main() -> None:
         decay=VoxelDecayParams(enabled=True, min_decay_age=30,
                                max_decay_weight=2),
         slide_window=SlideWindowParams(enabled=True, max_age=60),
+        stereo=StereoConfig(cost_dtype="bfloat16"),
     )
     cfg = dataclasses.replace(
         cfg,
