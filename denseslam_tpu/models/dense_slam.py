@@ -135,9 +135,14 @@ def fuse_keyframe(
     m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T_wc, intr, tc)
     m = tsdf_ops.integrate(m, slots, mask, depth, color, T_wc, intr, tc)
     db = db_push(db, depth, gray, T_wc, frame_id)
-    if cfg.slide_window.enabled:
+    if cfg.slide_window.enabled and cfg.decay.enabled:
+        # one fused pool pass instead of two (see tsdf.decay_and_slide)
+        m = tsdf_ops.decay_and_slide(
+            m, cfg.decay.max_decay_weight, cfg.decay.min_decay_age,
+            cfg.slide_window.max_age)
+    elif cfg.slide_window.enabled:
         m = tsdf_ops.slide_window(m, cfg.slide_window.max_age)
-    if cfg.decay.enabled:
+    elif cfg.decay.enabled:
         m = tsdf_ops.decay(m, cfg.decay.max_decay_weight, cfg.decay.min_decay_age)
     m = tsdf_ops.advance_frame(m)
     return m, db

@@ -491,6 +491,41 @@ def decay_catchup(m: MapState, max_decay_weight: float) -> MapState:
     return decay(m, max_decay_weight, 0, force_all=True)
 
 
+def decay_and_slide(
+    m: MapState,
+    max_decay_weight: float,
+    min_decay_age: int,
+    max_age: int,
+) -> MapState:
+    """decay() followed by slide_window() fused into ONE pool pass.
+
+    Run separately these are the per-frame regularisation tail's two
+    full-pool read+write rounds over tsdf/weight/color (~3 GB of HBM
+    traffic at the 2^17-slot pool); combining the masks halves that.
+    Semantics identical to slide_window(...) then decay(...) (the
+    fuse_keyframe tail order): slide ages by alloc_frame, which decay
+    never modifies, so the masks compose; decayed_blocks counts only
+    blocks decay would have freed AFTER slide already evicted its set."""
+    age = m.frame - m.alloc_frame
+    eligible = m.table.valid & (age >= min_decay_age)
+    wd = m.weight.dtype
+    kill = eligible[:, None] & (m.weight <= max_decay_weight) & (m.weight > 0)
+    w1 = jnp.where(kill, jnp.zeros((), wd), m.weight)
+    empty = eligible & jnp.all(w1 <= 0.0, axis=-1)
+    old = m.table.valid & (age > max_age)
+    drop = empty | old
+    freed = jnp.sum((empty & ~old).astype(jnp.int32))
+    table = vhash.free_mask(m.table, drop)
+    gone = drop[:, None]
+    return m._replace(
+        table=table,
+        tsdf=jnp.where(gone | kill, jnp.ones((), m.tsdf.dtype), m.tsdf),
+        weight=jnp.where(gone, jnp.zeros((), wd), w1),
+        color=jnp.where(gone, 0, m.color),
+        decayed_blocks=m.decayed_blocks + freed,
+    )
+
+
 def decay_defusion_part(m: MapState) -> MapState:
     """Reclaim blocks of the correction working set left empty by
     de-integration (reference: DecayDefusionPart,

@@ -302,3 +302,35 @@ def test_defusion_part_gc(frame):
     # fused blocks carry weight >= floor in their occupied voxels; most
     # survive (only sparse low-occupancy boundary blocks may go)
     assert int(tsdf_ops.num_allocated_blocks(m4)) > 0.5 * n3
+
+
+def test_decay_and_slide_matches_sequential(frame):
+    """The fused regularisation pass (one pool read+write) must produce the
+    same map as slide_window() followed by decay() (the fuse_keyframe
+    order), including the decayed-block count."""
+    cfg, T, depth, color = frame
+    m = tsdf_ops.make_map(cfg.tsdf)
+    m, _, _ = fuse_one(cfg, m, depth, color, T)
+    # second, offset frame so some blocks are light and some heavy
+    T2 = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(-0.4)
+    gray2, depth2 = synthetic.render_view(T2, cfg.rig.intr)
+    m, s2, k2 = tsdf_ops.allocate_for_frame(m, depth2, T2, cfg.rig.intr,
+                                            cfg.tsdf)
+    m = tsdf_ops.integrate(m, s2, k2, depth2, None, T2, cfg.rig.intr,
+                           cfg.tsdf)
+    for _ in range(5):
+        m = tsdf_ops.advance_frame(m)
+
+    seq = tsdf_ops.decay(
+        tsdf_ops.slide_window(m, max_age=4),
+        max_decay_weight=1.0, min_decay_age=2)
+    fused = tsdf_ops.decay_and_slide(
+        m, max_decay_weight=1.0, min_decay_age=2, max_age=4)
+
+    np.testing.assert_array_equal(np.asarray(seq.table.valid),
+                                  np.asarray(fused.table.valid))
+    np.testing.assert_array_equal(np.asarray(seq.tsdf), np.asarray(fused.tsdf))
+    np.testing.assert_array_equal(np.asarray(seq.weight),
+                                  np.asarray(fused.weight))
+    np.testing.assert_array_equal(np.asarray(seq.color), np.asarray(fused.color))
+    assert int(seq.decayed_blocks) == int(fused.decayed_blocks)
