@@ -117,7 +117,13 @@ def _gn_refine(T0, pts_prev, obs_l, obs_r, weights, rig, iters: int):
         xi = jnp.clip(xi, -0.5, 0.5)
         return lie.se3_exp(xi) @ T
 
-    return jax.lax.fori_loop(0, iters, body, T0)
+    # UNROLLED (iters is static, <= ~12): a fori_loop pays while-loop
+    # bookkeeping per iteration on tensors this small — straight-line code
+    # lets XLA schedule the whole refinement without loop overhead
+    T = T0
+    for it in range(iters):
+        T = body(it, T)
+    return T
 
 
 def estimate_stereo_motion(

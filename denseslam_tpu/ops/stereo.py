@@ -119,6 +119,13 @@ def sgm_aggregate(cost: jax.Array, cfg: StereoConfig) -> jax.Array:
         # keep the transpose as a layout bitcast, and every scan step and
         # every downstream (H, W) reduction turns strided — measured 13
         # ms/frame per pass instead of 2-3 ms (2.8x whole-pipeline hit).
+        # NOTE: a 2x-unrolled pair scan was tried here (halve the step
+        # count by doing two recurrence steps per iteration) and REGRESSED
+        # the whole pipeline 2x: the (T/2, 2, S, D) pair reshape gives the
+        # scan ys a {3,2,1,0} layout that poisons every downstream volume
+        # reduction into strided passes — same failure mode as the
+        # zero-carry full-volume scan documented above. Keep the plain
+        # slice + concat form.
         if reverse:
             init = vol[-1]
             _, rest = jax.lax.scan(step, init, vol[:-1], reverse=True)
