@@ -147,87 +147,92 @@ def _sample_subbatch(tiles, tuv_ref, out_ref, g):
         inb, packed, 0.0).astype(jnp.int32)
 
 
+SUB_RGB = 2    # blocks per batched matmul in the 5-plane RGB kernel
+               # (rows scratch is (SUB, 512, 5*TW) f32 — VMEM-bound)
+
+
 def _kernel_rgb(orig_ref, tuv_ref, img1_ref, img2_ref, out1_ref, out2_ref,
                 tiles1, tiles2, sems):
     """True-RGB variant: img1 = d_mm | r<<16, img2 = g | b<<8. Outputs
-    out1 = d_mm<<8 | r, out2 = g<<8 | b. Same exact-selection scheme with
-    five <2^8 planes."""
+    out1 = d_mm<<8 | r, out2 = g<<8 | b. Same exact-selection and
+    all-DMAs-up-front + batched-matmul structure as _kernel, with five
+    <2^8 planes."""
     i = pl.program_id(0)
 
-    def get_dmas(slot, b):
+    def get_dmas(b):
         o = orig_ref[i * BCHUNK + b]
         u0 = (o & 0xFFFF) * ALIGN_U        # pre-divided: see _kernel
         v0 = (o >> 16) * ALIGN_V
         src1 = img1_ref.at[pl.ds(v0, TILE_H), pl.ds(u0, TILE_W)]
         src2 = img2_ref.at[pl.ds(v0, TILE_H), pl.ds(u0, TILE_W)]
-        return (pltpu.make_async_copy(src1, tiles1.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(src2, tiles2.at[slot], sems.at[slot, 1]))
-
-    def start_dmas(slot, b):
-        @pl.when(orig_ref[i * BCHUNK + b] >= 0)
-        def _():
-            for d in get_dmas(slot, b):
-                d.start()
-
-    for b in range(min(NBUF, BCHUNK)):
-        start_dmas(b % NBUF, b)
+        return (pltpu.make_async_copy(src1, tiles1.at[b], sems.at[b, 0]),
+                pltpu.make_async_copy(src2, tiles2.at[b], sems.at[b, 1]))
 
     for b in range(BCHUNK):
-        slot = b % NBUF
-        live = orig_ref[i * BCHUNK + b] >= 0
+        @pl.when(orig_ref[i * BCHUNK + b] >= 0)
+        def _(b=b):
+            for d in get_dmas(b):
+                d.start()
 
-        @pl.when(live)
-        def _wait(slot=slot, b=b):
-            for d in get_dmas(slot, b):
-                d.wait()
+    for g in range(BCHUNK // SUB_RGB):
+        blocks = range(g * SUB_RGB, (g + 1) * SUB_RGB)
+        any_live = orig_ref[i * BCHUNK + g * SUB_RGB] >= 0
+        for b in blocks:
+            if b != g * SUB_RGB:
+                any_live = any_live | (orig_ref[i * BCHUNK + b] >= 0)
+        for b in blocks:
+            @pl.when(orig_ref[i * BCHUNK + b] >= 0)
+            def _(b=b):
+                for d in get_dmas(b):
+                    d.wait()
 
-        @pl.when(jnp.logical_not(live))
-        def _zero(b=b):
-            out1_ref[b, :] = jnp.zeros((BLOCK_VOL,), jnp.int32)
-            out2_ref[b, :] = jnp.zeros((BLOCK_VOL,), jnp.int32)
+        @pl.when(any_live)
+        def _compute(g=g):
+            _sample_subbatch_rgb(tiles1, tiles2, tuv_ref, out1_ref,
+                                 out2_ref, g)
 
-        @pl.when(live)
-        def _compute(slot=slot, b=b):
-            _sample_block_rgb(tiles1, tiles2, tuv_ref, out1_ref, out2_ref,
-                              slot, b)
-
-        # refill the slot only AFTER the compute consumed it
-        nxt = b + NBUF
-        if nxt < BCHUNK:
-            start_dmas(slot, nxt)
+        @pl.when(jnp.logical_not(any_live))
+        def _zero(g=g):
+            z = jnp.zeros((SUB_RGB, BLOCK_VOL), jnp.int32)
+            out1_ref[g * SUB_RGB:(g + 1) * SUB_RGB, :] = z
+            out2_ref[g * SUB_RGB:(g + 1) * SUB_RGB, :] = z
 
 
-def _sample_block_rgb(tiles1, tiles2, tuv_ref, out1_ref, out2_ref, slot, b):
-    raw1 = tiles1[slot]
-    raw2 = tiles2[slot]
+def _sample_subbatch_rgb(tiles1, tiles2, tuv_ref, out1_ref, out2_ref, g):
+    sl = slice(g * SUB_RGB, (g + 1) * SUB_RGB)
+    raw1 = tiles1[sl]                                   # (SUB, TH, TW) i32
+    raw2 = tiles2[sl]
     d_lo = (raw1 & 0xFF).astype(jnp.bfloat16)
     d_hi = (jnp.right_shift(raw1, 8) & 0xFF).astype(jnp.bfloat16)
     r_ = (jnp.right_shift(raw1, 16) & 0xFF).astype(jnp.bfloat16)
     g_ = (raw2 & 0xFF).astype(jnp.bfloat16)
     b_ = (jnp.right_shift(raw2, 8) & 0xFF).astype(jnp.bfloat16)
-    cat = jnp.concatenate([d_hi, d_lo, r_, g_, b_], axis=1)  # (TH, 5*TW)
+    cat = jnp.concatenate([d_hi, d_lo, r_, g_, b_], axis=2)  # (SUB,TH,5*TW)
 
-    tuv = tuv_ref[b, :]
+    tuv = tuv_ref[sl, :]                                # (SUB, 512)
     tu = tuv & 0xFFFF
     tv = jnp.right_shift(tuv, 16)
     inb = (tuv >= 0) & (tu < TILE_W) & (tv < TILE_H)
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_H), 1)
-    onehot = (rows_i == tv[:, None]).astype(jnp.bfloat16)
-    rows = jax.lax.dot(onehot, cat,
-                       precision=jax.lax.Precision.DEFAULT,
-                       preferred_element_type=jnp.float32)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOL, TILE_W), 1)
-    cmask = (cols_i == tu[:, None]).astype(jnp.float32)
+    rows_i = jax.lax.broadcasted_iota(
+        jnp.int32, (SUB_RGB, BLOCK_VOL, TILE_H), 2)
+    onehot = (rows_i == tv[:, :, None]).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(
+        onehot, cat, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)             # (SUB, 512, 5*TW)
+    cols_i = jax.lax.broadcasted_iota(
+        jnp.int32, (SUB_RGB, BLOCK_VOL, TILE_W), 2)
+    cmask = (cols_i == tu[:, :, None]).astype(jnp.float32)
 
     def sel(k):
-        return jnp.sum(rows[:, k * TILE_W:(k + 1) * TILE_W] * cmask,
-                       axis=1)
+        return jnp.sum(rows[:, :, k * TILE_W:(k + 1) * TILE_W] * cmask,
+                       axis=2)
 
     d_mm = sel(0) * 256.0 + sel(1)
     out1 = d_mm * 256.0 + sel(2)                         # < 2^24
     out2 = sel(3) * 256.0 + sel(4)                       # < 2^16
-    out1_ref[b, :] = jnp.where(inb, out1, 0.0).astype(jnp.int32)
-    out2_ref[b, :] = jnp.where(inb, out2, 0.0).astype(jnp.int32)
+    out1_ref[sl, :] = jnp.where(inb, out1, 0.0).astype(jnp.int32)
+    out2_ref[sl, :] = jnp.where(inb, out2, 0.0).astype(jnp.int32)
 
 
 
@@ -246,9 +251,9 @@ def _tile_sample_rgb_call(img1, img2, orig, tuv, *, interpret: bool):
         ],
         out_specs=[blk, blk],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, TILE_H, TILE_W), jnp.int32),
-            pltpu.VMEM((NBUF, TILE_H, TILE_W), jnp.int32),
-            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.VMEM((BCHUNK, TILE_H, TILE_W), jnp.int32),
+            pltpu.VMEM((BCHUNK, TILE_H, TILE_W), jnp.int32),
+            pltpu.SemaphoreType.DMA((BCHUNK, 2)),
         ],
     )
     return pl.pallas_call(
