@@ -32,7 +32,7 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sampler", default="pallas",
                     choices=["gather", "pallas"])
-    ap.add_argument("--storage", default="float32",
+    ap.add_argument("--storage", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--no_color", action="store_true")
     args = ap.parse_args(argv)
