@@ -173,6 +173,11 @@ class StereoConfig:
     # volume in its storage dtype, so subpixel precision degrades slightly
     # (measure with eval/depth_metrics before flipping a deployment).
     cost_dtype: str = "float32"
+    # "pallas": path aggregation as pallas kernels (ops/sgm_pallas.py) —
+    # one call per direction with a persistent VMEM carry, accumulating
+    # in place (no border copies, no separate 4-way sum pass). "xla":
+    # the lax.scan formulation.
+    sgm_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -89,7 +89,14 @@ def cost_volume(left: jax.Array, right: jax.Array, cfg: StereoConfig) -> jax.Arr
 def sgm_aggregate(cost: jax.Array, cfg: StereoConfig) -> jax.Array:
     """4-path semi-global aggregation. cost: (H, W, D) -> same shape.
     Each path is one lax.scan along its axis over (slab, D) slices; the
-    disparity-smoothness shifts are lane-local."""
+    disparity-smoothness shifts are lane-local. With
+    cfg.sgm_backend == "pallas" the passes run as pallas kernels instead
+    (ops/sgm_pallas.py)."""
+    if cfg.sgm_backend == "pallas":
+        from .sgm_pallas import sgm_aggregate_pallas
+        return sgm_aggregate_pallas(
+            cost, cfg.sgm_p1, cfg.sgm_p2,
+            interpret=jax.default_backend() == "cpu")
     h, w, d = cost.shape
     # constants in the COST dtype — f32 literals would silently upcast a
     # bf16 volume scan back to f32

@@ -55,6 +55,11 @@ def main() -> None:
         # bf16 SGM volume: half the HBM traffic of the dominant stereo
         # passes; measured depth-vs-GT MAE identical to f32 (0.1712 vs
         # 0.1711 m on the synthetic street scene)
+        # sgm_backend stays "xla": the pallas aggregation wins standalone
+        # (33.5 vs 44 ms on an argument volume) but LOSES 3x in-pipeline —
+        # the kernel boundaries force the 232 MB volume to materialise
+        # where XLA otherwise fuses the cost-volume producer into the
+        # first scan (see ops/sgm_pallas.py docstring).
         stereo=StereoConfig(cost_dtype="bfloat16"),
     )
     cfg = dataclasses.replace(

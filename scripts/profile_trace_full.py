@@ -42,7 +42,7 @@ def main() -> None:
     tsdf = TsdfConfig(
         voxel_size_m=0.06, trunc_dist_m=0.24, table_slots=1 << 17,
         max_visible_blocks=1 << 13, max_alloc_per_frame=1 << 13,
-        max_depth_m=50.0, alloc_subsample=2, sampler="pallas",
+        max_depth_m=50.0, alloc_subsample=2, sampler="pallas", storage_dtype="bfloat16",
     )
     cfg = SystemConfig(
         rig=rig, tsdf=tsdf,

@@ -73,3 +73,41 @@ def test_lr_check_kills_occlusions(pair):
     ok = v & (gt > 0)
     rel = np.abs(d[ok] - gt[ok]) / gt[ok]
     assert (rel > 0.2).mean() < 0.05, (rel > 0.2).mean()
+
+
+def test_sgm_pallas_matches_xla():
+    """The pallas SGM aggregation (ops/sgm_pallas.py) must reproduce the
+    lax.scan path exactly on integer-valued costs (where f32 sums are
+    exact and direction-sum association is irrelevant), for both an
+    aligned and a pad-requiring width and both cost dtypes."""
+    import dataclasses
+
+    import numpy as np
+
+    from denseslam_tpu.config import StereoConfig
+    from denseslam_tpu.ops import stereo as st
+
+    rng = np.random.default_rng(3)
+    for w in (32, 27):          # aligned / needs WC padding
+        for dt in ("float32", "bfloat16"):
+            cost = rng.integers(0, 200, (20, w, 128)).astype(np.float32)
+            c = jnp.asarray(cost)
+            if dt == "bfloat16":
+                c = c.astype(jnp.bfloat16)
+            ref = st.sgm_aggregate(
+                c, StereoConfig(sgm_backend="xla"))
+            got = st.sgm_aggregate(
+                c, StereoConfig(sgm_backend="pallas"))
+            if dt == "float32":
+                # integer costs < 2^24: f32 sums exact regardless of the
+                # direction-sum association -> bitwise equal
+                np.testing.assert_array_equal(
+                    np.asarray(ref), np.asarray(got), err_msg=f"w={w}")
+            else:
+                # bf16 rounds at each add; the pallas path accumulates
+                # directions left-to-right while XLA sums pairwise, so
+                # results differ by association rounding only (~0.4% rel)
+                np.testing.assert_allclose(
+                    np.asarray(ref.astype(jnp.float32)),
+                    np.asarray(got.astype(jnp.float32)),
+                    rtol=1.5e-2, atol=2.0, err_msg=f"w={w}")
