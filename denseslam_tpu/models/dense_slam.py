@@ -203,12 +203,17 @@ def process_sequence(
         fe_state, m, db = carry
         l, r, fid = inp
         fe_state, vo = fe.vo_step(fe_state, l, r, cfg)
-        depth, _ = stereo_ops.compute_depth(l, r, cfg.rig, cfg.stereo)
         is_kf = vo.tracking_ok & (
             jnp.mod(fid, cfg.pipeline.keyframe_every) == 0)
 
         def fuse(args):
+            # dense depth (SGM) is only CONSUMED by fusion, so it lives
+            # inside the keyframe branch — at keyframe_every=k the
+            # per-frame stereo cost amortises k-fold (the reference
+            # likewise only uses its precomputed depth at keyframe rate,
+            # DenseSlam.cpp:89-96 early-return)
             m, db = args
+            depth, _ = stereo_ops.compute_depth(l, r, cfg.rig, cfg.stereo)
             return fuse_keyframe(m, db, depth, l, vo.T_wc, fid, cfg)
 
         m, db = jax.lax.cond(is_kf, fuse, lambda args: args, (m, db))

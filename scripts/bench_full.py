@@ -27,6 +27,15 @@ import numpy as np
 
 
 def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keyframe_every", type=int, default=1,
+                    help="fuse (and compute SGM depth) every k-th frame; "
+                         "1 = every frame (strictly MORE work than the "
+                         "reference, which fuses only at ORB keyframe "
+                         "rate, roughly every 5-10 KITTI frames)")
+    args = ap.parse_args()
+
     from denseslam_tpu.config import (
         SlideWindowParams, StereoConfig, SystemConfig, TsdfConfig,
         VoxelDecayParams)
@@ -64,7 +73,8 @@ def main() -> None:
     )
     cfg = dataclasses.replace(
         cfg,
-        pipeline=dataclasses.replace(cfg.pipeline, fusion_db_capacity=8),
+        pipeline=dataclasses.replace(cfg.pipeline, fusion_db_capacity=8,
+                                     keyframe_every=args.keyframe_every),
         frontend=dataclasses.replace(cfg.frontend, max_features=2048,
                                      nms_tau=10.0, max_per_bucket=8),
     )
@@ -113,7 +123,9 @@ def main() -> None:
     if overflow:
         raise RuntimeError(f"visible/alloc cap overflowed ({overflow})")
     print(json.dumps({
-        "metric": "full_pipeline_frames_per_s_per_chip_kitti",
+        "metric": "full_pipeline_frames_per_s_per_chip_kitti"
+                  + ("" if args.keyframe_every == 1
+                     else f"_kf{args.keyframe_every}"),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
