@@ -5,11 +5,11 @@ Each variant runs in a FRESH subprocess (the remote runtime dedupes
 identical dispatches and congested compiles poison in-process timings —
 see .claude/skills/verify/SKILL.md). Variants:
 
-  base       gather sampler, f32 storage, color on   (bench.py default)
-  pallas     pallas tile-sampler
-  bf16       bfloat16 pool storage
-  pallas+bf16
-  nocolor    fuse_color off
+  default    pallas tile-sampler + bf16 pool storage (bench.py default)
+  gather+f32 the original XLA-gather / f32 configuration
+  pallas+f32 sampler lever alone
+  gather+bf16 storage lever alone
+  nocolor    fuse_color off (on top of the default)
 
 Usage: python scripts/bench_matrix.py [--quick]
 """
@@ -23,10 +23,10 @@ import time
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 VARIANTS = {
-    "base": [],
-    "pallas": ["--sampler", "pallas"],
-    "bf16": ["--storage", "bfloat16"],
-    "pallas+bf16": ["--sampler", "pallas", "--storage", "bfloat16"],
+    "default": [],
+    "gather+f32": ["--sampler", "gather", "--storage", "float32"],
+    "pallas+f32": ["--storage", "float32"],
+    "gather+bf16": ["--sampler", "gather"],
     "nocolor": ["--no_color"],
 }
 

@@ -32,6 +32,8 @@ EOF
   timeout 3000 python scripts/bench_matrix.py
   echo "=== $(date) bench_full ==="
   timeout 3000 python scripts/bench_full.py
+  echo "=== $(date) bench_full kf4 (reference-rate keyframes) ==="
+  timeout 3000 python scripts/bench_full.py --keyframe_every 4
   echo "=== $(date) bench_ba ==="
   timeout 1200 python scripts/bench_ba.py
   echo "=== $(date) DONE ==="
