@@ -144,6 +144,9 @@ class FrontendConfig:
     outlier_disp_tol_px: float = 5.0
     outlier_min_support: int = 2
     ransac_iters: int = 256           # hypotheses, batched via vmap
+    # libviso2 refit reweighting: centre features weigh more
+    # (reference: viso_stereo.cpp:327-331; reference default on)
+    edge_reweighting: bool = True
     ransac_thresh_px: float = 2.0     # reference: viso_stereo.h:39-41
     gn_iters: int = 8
     refine_iters: int = 12

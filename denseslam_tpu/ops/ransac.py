@@ -175,6 +175,12 @@ def estimate_stereo_motion(
 
     # --- refit on inliers -------------------------------------------------
     w = best_inliers.astype(jnp.float32)
+    if cfg.edge_reweighting:
+        # reference reweighting: features near the horizontal image centre
+        # weigh more in the refit (viso_stereo.cpp:327-331,
+        # weight = 1 / (|u - cu| / |cu| + 0.05))
+        cu = rig.intr.cx
+        w = w / (jnp.abs(obs_l[:, 0] - cu) / abs(cu) + 0.05)
     T_refined = _gn_refine(best_T, pts_prev, obs_l, obs_r, w, rig,
                            cfg.refine_iters)
     _, final_inliers = count(T_refined)
