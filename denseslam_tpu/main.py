@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_scale", type=float, default=1.0)
     p.add_argument("--use_color", action="store_true")
     # depth source
+    p.add_argument("--sgm_backend", default="xla",
+                   choices=["xla", "pallas", "pallas_fused"],
+                   help="SGM aggregation backend for --compute_depth "
+                        "(pallas_fused: single-kernel aggregation+WTA)")
     p.add_argument("--compute_depth", action="store_true",
                    help="compute depth with the on-device SGM stereo instead "
                         "of reading precomputed depth/disparity")
@@ -107,8 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def build_config(args, rig):
     from .config import (OnlineCorrectionParams, PipelineConfig,
-                         PostProcessParams, SlideWindowParams, SystemConfig,
-                         TsdfConfig, VoxelDecayParams, WeightParams)
+                         PostProcessParams, SlideWindowParams, StereoConfig,
+                         SystemConfig, TsdfConfig, VoxelDecayParams,
+                         WeightParams)
 
     tsdf = TsdfConfig(
         voxel_size_m=args.voxel_size,
@@ -136,6 +141,7 @@ def build_config(args, rig):
             args.online_correction, args.correction_num,
             args.start_correction_num),
         postprocess=PostProcessParams(enabled=args.depth_postprocess),
+        stereo=StereoConfig(sgm_backend=args.sgm_backend),
         pipeline=PipelineConfig(
             keyframe_every=args.keyframe_every,
             sensor={"monocular": "mono"}.get(args.sensor, args.sensor),

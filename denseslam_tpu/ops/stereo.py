@@ -152,6 +152,28 @@ def sgm_aggregate(cost: jax.Array, cfg: StereoConfig) -> jax.Array:
     return a_tb + a_bt + jnp.transpose(a_lr + a_rl, (1, 0, 2))
 
 
+def _disparity_from_maps(best, cmin, c0, c2, best_r, d: int,
+                         cfg: StereoConfig):
+    """Disparity assembly from per-pixel WTA maps: parabolic subpixel +
+    left-right consistency + validity gates. Shared tail of the XLA
+    volume path (disparity_from_cost) and the fused pallas path
+    (ops/sgm_pallas.sgm_wta_pallas)."""
+    h, w = best.shape
+    denom = c0 - 2.0 * cmin + c2
+    sub = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / denom, 0.0)
+    disp = best.astype(jnp.float32) + jnp.clip(sub, -0.5, 0.5)
+
+    # disp at left pixel x should equal right disp at x - disp
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    xl = jnp.clip(col - best, 0, w - 1)
+    rd = best_r.reshape(-1)[(row * w + xl).reshape(-1)].reshape(h, w)
+    consistent = jnp.abs(best - rd) <= cfg.lr_check_px
+
+    valid = consistent & (cmin < 1e3) & (best > 0) & (best < d - 1)
+    return jnp.where(valid, disp, 0.0), valid
+
+
 def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
     """WTA + parabolic subpixel + left-right consistency.
 
@@ -175,10 +197,6 @@ def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
                  dtype=jnp.float32)
     c2 = jnp.sum(jnp.where(lane == bm + 1, cost, zero), axis=-1,
                  dtype=jnp.float32)
-    denom = c0 - 2.0 * cmin + c2
-    sub = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / denom, 0.0)
-    disp = best.astype(jnp.float32) + jnp.clip(sub, -0.5, 0.5)
-
     # left-right check. cost_R(x, d) = cost_L(x + d, d) is a shear of the
     # left volume: D static column shifts with a running argmin (pure VPU,
     # no volume-sized gather).
@@ -187,6 +205,8 @@ def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
     best_r = jnp.zeros((h, w), jnp.int32)
     for dd in range(d):
         slab = cost[..., dd]
+        if dd >= w:          # whole shear out of frame (only when d > W)
+            continue
         if dd > 0:
             slab = jnp.concatenate(
                 [slab[:, dd:], jnp.full((h, dd), big)], axis=1)
@@ -194,15 +214,7 @@ def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
         best_r_val = jnp.where(better, slab, best_r_val)
         best_r = jnp.where(better, dd, best_r)
 
-    # disp at left pixel x should equal right disp at x - disp
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    xl = jnp.clip(col - best, 0, w - 1)
-    rd = best_r.reshape(-1)[(row * w + xl).reshape(-1)].reshape(h, w)
-    consistent = jnp.abs(best - rd) <= cfg.lr_check_px
-
-    valid = consistent & (cmin < 1e3) & (best > 0) & (best < d - 1)
-    return jnp.where(valid, disp, 0.0), valid
+    return _disparity_from_maps(best, cmin, c0, c2, best_r, d, cfg)
 
 
 def compute_depth(left: jax.Array, right: jax.Array, rig: StereoRig,
@@ -213,8 +225,18 @@ def compute_depth(left: jax.Array, right: jax.Array, rig: StereoRig,
     cost = cost_volume(left, right, cfg)
     if cfg.cost_dtype == "bfloat16":
         cost = cost.astype(jnp.bfloat16)
-    if cfg.use_sgm:
-        cost = sgm_aggregate(cost, cfg)
-    disp, valid = disparity_from_cost(cost, cfg)
+    if cfg.use_sgm and cfg.sgm_backend == "pallas_fused":
+        # fully fused aggregation + WTA: the aggregated volume never
+        # materialises; only (H, W) maps come back from the kernel
+        from .sgm_pallas import sgm_wta_pallas
+        maps = sgm_wta_pallas(
+            cost, cfg.sgm_p1, cfg.sgm_p2,
+            interpret=jax.default_backend() == "cpu")
+        disp, valid = _disparity_from_maps(
+            *maps, cost.shape[-1], cfg)
+    else:
+        if cfg.use_sgm:
+            cost = sgm_aggregate(cost, cfg)
+        disp, valid = disparity_from_cost(cost, cfg)
     depth = disparity_to_depth(disp, rig, min_depth_m, max_depth_m)
     return depth, valid & (depth > 0)

@@ -34,6 +34,8 @@ def main() -> None:
                          "1 = every frame (strictly MORE work than the "
                          "reference, which fuses only at ORB keyframe "
                          "rate, roughly every 5-10 KITTI frames)")
+    ap.add_argument("--sgm_backend", default="xla",
+                    choices=["xla", "pallas", "pallas_fused"])
     args = ap.parse_args()
 
     from denseslam_tpu.config import (
@@ -69,7 +71,8 @@ def main() -> None:
         # the kernel boundaries force the 232 MB volume to materialise
         # where XLA otherwise fuses the cost-volume producer into the
         # first scan (see ops/sgm_pallas.py docstring).
-        stereo=StereoConfig(cost_dtype="bfloat16"),
+        stereo=StereoConfig(cost_dtype="bfloat16",
+                            sgm_backend=args.sgm_backend),
     )
     cfg = dataclasses.replace(
         cfg,

@@ -75,6 +75,46 @@ def test_lr_check_kills_occlusions(pair):
     assert (rel > 0.2).mean() < 0.05, (rel > 0.2).mean()
 
 
+def test_sgm_fused_pallas_matches_xla():
+    """The fully fused pallas SGM+WTA backend (sgm_backend="pallas_fused")
+    must reproduce the XLA volume path's disparity BITWISE on
+    integer-valued f32 costs: same recurrence, same direction-sum values
+    (integer sums are exact in f32 regardless of association), same
+    argmin / subpixel-tap / right-argmin tie rules."""
+    import numpy as np
+
+    from denseslam_tpu.config import StereoConfig
+    from denseslam_tpu.ops import stereo as st
+    from denseslam_tpu.ops.sgm_pallas import sgm_wta_pallas
+
+    rng = np.random.default_rng(7)
+    # aligned width / pad-requiring width / non-128 disparity count
+    for (h, w, d) in ((20, 160, 128), (20, 155, 128), (24, 64, 48)):
+        cost = rng.integers(0, 200, (h, w, d)).astype(np.float32)
+        c = jnp.asarray(cost)
+        cfg = StereoConfig(max_disparity=d)
+        agg = st.sgm_aggregate(c, cfg)
+        disp_ref, val_ref = st.disparity_from_cost(agg, cfg)
+        maps = sgm_wta_pallas(c, cfg.sgm_p1, cfg.sgm_p2, interpret=True)
+        disp_f, val_f = st._disparity_from_maps(*maps, d, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(disp_ref), np.asarray(disp_f), err_msg=f"{h}x{w}x{d}")
+        np.testing.assert_array_equal(
+            np.asarray(val_ref), np.asarray(val_f), err_msg=f"{h}x{w}x{d}")
+
+
+def test_sgm_fused_backend_end_to_end(pair):
+    """compute_depth(sgm_backend="pallas_fused") reaches the same depth
+    quality as the XLA backend on the synthetic stereo pair."""
+    cfg, left, right, depth_gt = pair
+    fused = dataclasses.replace(cfg.stereo, sgm_backend="pallas_fused")
+    d_f, v_f = stereo.compute_depth(left, right, cfg.rig, fused)
+    cov, med_rel, frac5 = _eval(d_f, v_f, depth_gt, cfg)
+    assert cov > 0.5, cov
+    assert med_rel < 0.03, med_rel
+    assert frac5 > 0.85, frac5
+
+
 def test_sgm_pallas_matches_xla():
     """The pallas SGM aggregation (ops/sgm_pallas.py) must reproduce the
     lax.scan path exactly on integer-valued costs (where f32 sums are
