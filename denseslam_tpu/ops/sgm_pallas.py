@@ -41,6 +41,14 @@ _BIG = 1e4   # matches ops/stereo.py invalid-cost marker
 WC = 16
 
 
+def _wc(dtype) -> int:
+    """Horizontal chunk width. Two f32 (H, WC=16, D) input blocks exceed
+    VMEM once pallas double-buffers them (the compile helper subprocess
+    crashes, poisoning the shared remote-compile service) — halve the
+    chunk for 4-byte volumes; 2-byte volumes keep WC=16."""
+    return WC if jnp.dtype(dtype).itemsize <= 2 else WC // 2
+
+
 def _step(prev, cur, p1, p2):
     """One SGM recurrence step on a (S, D) slab; D on lanes."""
     prev_min = jnp.min(prev, axis=-1, keepdims=True)
@@ -53,7 +61,7 @@ def _step(prev, cur, p1, p2):
     return cur + best - prev_min
 
 
-def _h_kernel(*refs, p1, p2, rev, acc):
+def _h_kernel(*refs, p1, p2, rev, acc, wc):
     """Horizontal pass. Block (H, WC, D); carry scratch (H, D).
 
     Grid steps run sequentially on the core, so the carry persists across
@@ -73,7 +81,7 @@ def _h_kernel(*refs, p1, p2, rev, acc):
     p1c = jnp.asarray(p1, dt)
     p2c = jnp.asarray(p2, dt)
     prev = carry[...]
-    order = range(WC - 1, -1, -1) if rev else range(WC)
+    order = range(wc - 1, -1, -1) if rev else range(wc)
     for w in order:
         new = _step(prev, cost_ref[:, w, :], p1c, p2c)
         if acc_ref is None:
@@ -121,13 +129,14 @@ def _pick_hc(h: int) -> int:
 def _direction_call(cost, acc, *, axis, rev, p1, p2, interpret):
     hp, wp, d = cost.shape
     if axis == 1:                                  # horizontal
-        n = wp // WC
+        wc = _wc(cost.dtype)
+        n = wp // wc
         blk = pl.BlockSpec(
-            (hp, WC, d),
+            (hp, wc, d),
             (lambda j: (0, n - 1 - j, 0)) if rev else (lambda j: (0, j, 0)),
             memory_space=pltpu.VMEM)
         kern = functools.partial(_h_kernel, p1=p1, p2=p2, rev=rev,
-                                 acc=acc is not None)
+                                 acc=acc is not None, wc=wc)
         carry_shape = (hp, d)
     else:                                          # vertical
         hc = _pick_hc(hp)
@@ -169,7 +178,7 @@ def _final_h_kernel(cost_ref, acc_ref, best_ref, cmin_ref, c0_ref, c2_ref,
     d: exactly jnp.argmin's first-occurrence rule in the XLA tail."""
     dt = cost_ref.dtype
     hp, wc, d = cost_ref.shape
-    big = jnp.asarray(_BIG, dt)
+    big = jnp.float32(_BIG)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -181,14 +190,22 @@ def _final_h_kernel(cost_ref, acc_ref, best_ref, cmin_ref, c0_ref, c2_ref,
     p2c = jnp.asarray(p2, dt)
     lane = jax.lax.broadcasted_iota(jnp.int32, (hp, d), 1)
     base = (n - 1 - pl.program_id(0)) * wc
-    zero = jnp.zeros((), dt)
+    zero = jnp.float32(0)
     prev = carry[...]
     mv = mval[...]
     ma = marg[...]
     for w in range(wc - 1, -1, -1):
         new = _step(prev, cost_ref[:, w, :], p1c, p2c)
         prev = new
-        final = new + acc_ref[:, w, :]
+        # The WTA/tap/right-argmin tail runs in f32 REGARDLESS of the
+        # volume dtype: i1 masks born from bf16 (16-bit-tiled) compares
+        # applied to i32/f32 (32-bit-tiled) values need a bitwidth
+        # relayout Mosaic cannot do (kernel dies with "non-singleton
+        # logical dimension is replicated in destination..." or crashes
+        # the compile helper outright). bf16→f32 is exact, the 4-path sum
+        # is still taken in the volume dtype first (XLA-tail parity), so
+        # results are unchanged.
+        final = (new + acc_ref[:, w, :]).astype(jnp.float32)
         cmin = jnp.min(final, axis=-1, keepdims=True)
         # broadcast COMPARES hit a Mosaic relayout bug ("non-singleton
         # logical dimension is replicated in destination...") — broadcast
@@ -207,13 +224,14 @@ def _final_h_kernel(cost_ref, acc_ref, best_ref, cmin_ref, c0_ref, c2_ref,
         # (8, 128)-divisible or full — (WC, H) has a full last dim, and a
         # column-of-the-image write becomes a contiguous row write
         best_ref[w, :] = best[:, 0]
-        cmin_ref[w, :] = cmin[:, 0].astype(jnp.float32)
+        cmin_ref[w, :] = cmin[:, 0]
         c0_ref[w, :] = c0
         c2_ref[w, :] = c2
         # rolling right-argmin: zero-pad columns past the real width carry
         # BIG so they never win (parity with the XLA shear's BIG fill)
         cand = jnp.where(base + w < w_real, final, big)
-        mv = jnp.concatenate([mv[:, 1:], jnp.full((hp, 1), big, dt)], axis=1)
+        mv = jnp.concatenate(
+            [mv[:, 1:], jnp.full((hp, 1), big, jnp.float32)], axis=1)
         ma = jnp.concatenate(
             [ma[:, 1:], jnp.zeros((hp, 1), jnp.int32)], axis=1)
         better = cand <= mv
@@ -237,7 +255,8 @@ def sgm_wta_pallas(cost: jax.Array, p1: float, p2: float,
     semantics to the XLA volume tail (bitwise-equal disparity on
     integer-valued f32 costs)."""
     h, w, d = cost.shape
-    wp = -(-w // WC) * WC
+    wc = _wc(cost.dtype)
+    wp = -(-w // wc) * wc
     if wp != w:
         cost = jnp.pad(cost, ((0, 0), (0, wp - w), (0, 0)))
     run = functools.partial(_direction_call, p1=p1, p2=p2,
@@ -246,13 +265,13 @@ def sgm_wta_pallas(cost: jax.Array, p1: float, p2: float,
     a = run(cost, a, axis=0, rev=True)
     a = run(cost, a, axis=1, rev=False)
 
-    n = wp // WC
-    blk3 = pl.BlockSpec((h, WC, d), lambda j: (0, n - 1 - j, 0),
+    n = wp // wc
+    blk3 = pl.BlockSpec((h, wc, d), lambda j: (0, n - 1 - j, 0),
                         memory_space=pltpu.VMEM)
 
     def map_spec():
         # maps come back transposed (W, H) — see _final_h_kernel
-        return pl.BlockSpec((WC, h), lambda j: (n - 1 - j, 0),
+        return pl.BlockSpec((wc, h), lambda j: (n - 1 - j, 0),
                             memory_space=pltpu.VMEM)
 
     kern = functools.partial(_final_h_kernel, p1=p1, p2=p2, w_real=w, n=n)
@@ -270,9 +289,9 @@ def sgm_wta_pallas(cost: jax.Array, p1: float, p2: float,
             jax.ShapeDtypeStruct((wp, h), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, d), cost.dtype),
-            pltpu.VMEM((h, d), cost.dtype),
-            pltpu.VMEM((h, d), jnp.int32),
+            pltpu.VMEM((h, d), cost.dtype),      # SGM carry (volume dtype)
+            pltpu.VMEM((h, d), jnp.float32),     # rolling right-min values
+            pltpu.VMEM((h, d), jnp.int32),       # rolling right-min argmin
         ],
         interpret=interpret,
     )(cost, a)
@@ -287,7 +306,7 @@ def sgm_aggregate_pallas(cost: jax.Array, p1: float, p2: float,
     + h_bwd (exact for integer-valued costs; within f32 rounding of the
     XLA path's (v+v) + (h+h) otherwise)."""
     h, w, d = cost.shape
-    wp = -(-w // WC) * WC
+    wp = -(-w // _wc(cost.dtype)) * _wc(cost.dtype)
     if wp != w:
         # ZERO-pad: a zero carry stays zero through zero-cost slabs
         # (out = 0 + min(0, p1, p2) - 0 = 0), so the right-to-left pass
