@@ -143,6 +143,10 @@ class FrontendConfig:
     outlier_flow_tol_px: float = 5.0
     outlier_disp_tol_px: float = 5.0
     outlier_min_support: int = 2
+    # Running exposure compensation from matched-patch gain estimation
+    # (reference: src/libviso2/src/matcher.cpp:291-333) — images are
+    # corrected by the accumulated gain before feature extraction.
+    gain_normalization: bool = True
     ransac_iters: int = 256           # hypotheses, batched via vmap
     # libviso2 refit reweighting: centre features weigh more
     # (reference: viso_stereo.cpp:327-331; reference default on)
@@ -200,10 +204,16 @@ class BackendConfig:
 @dataclasses.dataclass(frozen=True)
 class SplatParams:
     """Forward-splat renderer caps (ops/splat.py) — the TPU-native fast
-    rendering path; see the module docstring for why marching is slow."""
+    rendering path; see the module docstring for why marching is slow.
+
+    surface_eta=0.8 (was 0.3): at grazing incidence (street ground beyond
+    ~8 m) the |tsdf|<0.3 band thins below one splat per 8 px and the
+    renderer lost 15% coverage with 0.55 m p95 error vs the exact
+    raycaster; widening the band restores full coverage and p95 ~3 voxels
+    (measured in tests/test_splat_tails.py)."""
     max_blocks: int = 2048
-    max_voxels: int = 1 << 18
-    surface_eta: float = 0.3
+    max_voxels: int = 1 << 19
+    surface_eta: float = 0.8
     z_bits: int = 12
     fill_levels: int = 3
 

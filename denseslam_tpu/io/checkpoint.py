@@ -52,10 +52,20 @@ def _unflatten_like(template: Any, data: Dict[str, np.ndarray],
 
 
 def save_slam_checkpoint(path: str, slam) -> None:
-    """Serialise a DenseSLAM instance's dynamic state."""
+    """Serialise a DenseSLAM instance's dynamic state — EVERY submap with
+    its fusion DB and alignment poses, plus frontend state and history."""
     flat: Dict[str, np.ndarray] = {}
-    flat.update(_flatten_with_paths(slam.submaps.active, "map"))
-    flat.update(_flatten_with_paths(slam.db, "db"))
+    sm = slam.submaps
+    s = sm.num_local_maps
+    flat["meta/num_submaps"] = np.asarray(s)
+    flat["meta/global_poses"] = np.stack(sm.global_poses)
+    flat["meta/spawn_poses"] = np.stack(sm.spawn_poses)
+    flat["meta/anchor_frames"] = np.asarray(sm.anchor_frames)
+    for si in range(s):
+        # "map"/"db" (no index) = submap 0 keeps the legacy layout
+        sfx = "" if si == 0 else str(si)
+        flat.update(_flatten_with_paths(sm.maps[si], "map" + sfx))
+        flat.update(_flatten_with_paths(sm.dbs[si], "db" + sfx))
     flat.update(_flatten_with_paths(slam.fe_state, "fe"))
     flat["meta/frame"] = np.asarray(slam.frame)
     flat["meta/keyframes"] = np.asarray(slam.current_keyframes)
@@ -68,8 +78,18 @@ def save_slam_checkpoint(path: str, slam) -> None:
 def load_slam_checkpoint(path: str, slam) -> None:
     """Restore into a freshly-constructed DenseSLAM with the same config."""
     data = dict(np.load(path, allow_pickle=False))
-    slam.submaps.active = _unflatten_like(slam.submaps.active, data, "map")
-    slam.db = _unflatten_like(slam.db, data, "db")
+    sm = slam.submaps
+    s = int(data.get("meta/num_submaps", 1))
+    while sm.num_local_maps < s:
+        sm.create_new(np.eye(4, dtype=np.float32))
+    for si in range(s):
+        sfx = "" if si == 0 else str(si)
+        sm.maps[si] = _unflatten_like(sm.maps[si], data, "map" + sfx)
+        sm.dbs[si] = _unflatten_like(sm.dbs[si], data, "db" + sfx)
+    if "meta/global_poses" in data:
+        sm.global_poses = list(data["meta/global_poses"])
+        sm.spawn_poses = list(data["meta/spawn_poses"])
+        sm.anchor_frames = [int(a) for a in data["meta/anchor_frames"]]
     slam.fe_state = _unflatten_like(slam.fe_state, data, "fe")
     slam.frame = int(data["meta/frame"])
     slam.current_keyframes = int(data["meta/keyframes"])

@@ -76,6 +76,46 @@ def street_scene(length_m: float = 80.0, width_m: float = 14.0,
                  side_x=float(width_m / 2))
 
 
+def loop_scene(poses: np.ndarray, seed: int = 11,
+               n_spheres: int = 48) -> Scene:
+    """Open scene for LOOP drives: textured ground plane + sphere
+    obstacles (occluders) scattered laterally around the given trajectory,
+    no near walls — the loop-closure fixture a street corridor can't
+    provide (a circular path revisits its start with the same heading)."""
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(0.4, 1.3, n_spheres)
+    idx = rng.integers(0, len(poses), n_spheres)
+    lateral = rng.uniform(2.0, 7.0, n_spheres) * rng.choice(
+        [-1.0, 1.0], n_spheres)
+    ahead = rng.uniform(-2.0, 2.0, n_spheres)
+    centers = np.empty((n_spheres, 3), np.float32)
+    for k in range(n_spheres):
+        T = poses[idx[k]]
+        p = T[:3, 3] + T[:3, 0] * lateral[k] + T[:3, 2] * ahead[k]
+        centers[k] = [p[0], 1.65 - r[k], p[2]]
+    span = float(np.abs(poses[:, :3, 3]).max()) + 50.0
+    return Scene(jnp.asarray(centers), jnp.asarray(r.astype(np.float32)),
+                 plane_y=1.65, wall_z=span, side_x=-1.0)
+
+
+def make_loop_trajectory(n_frames: int, radius_m: float = 15.0,
+                         closure_frames: int = 0) -> np.ndarray:
+    """Circular T_wc trajectory through the origin: the camera drives a
+    full circle of `radius_m` in `n_frames` frames and then `closure_frames`
+    more past the start — an exact revisit with identical heading (the
+    loop-closure test workload). Pure numpy."""
+    yaw = 2.0 * np.pi / n_frames
+    step = yaw * radius_m
+    xi = np.array([0.0, 0.0, step, 0.0, yaw, 0.0], dtype=np.float32)
+    dT = np.asarray(lie.se3_exp_np(xi))
+    poses = []
+    T = np.eye(4, dtype=np.float32)
+    for _ in range(n_frames + closure_frames):
+        poses.append(T.copy())
+        T = (T @ dT).astype(np.float32)
+    return np.stack(poses)
+
+
 def _ray_scene_depth_soa(ox, oy, oz, dx, dy, dz,
                          centers, radii, plane_y, wall_z, side_x=-1.0):
     """Analytic ray-scene intersection, SoA; returns ray depth t (0 = miss).

@@ -85,8 +85,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "sensor, on-device SGM depth). Raycast dumps, viewer "
                         "panes and telemetry drop to chunk rate; the memory "
                         "log repeats the chunk-end value per frame.")
+    # submaps (reference: F_originalBlocksThreshold, DenseSlam.h:502-507)
+    p.add_argument("--new_submap_threshold", type=float, default=-1.0,
+                   help="spawn a new submap when the visible fraction of "
+                        "the active map drops below this (<0 disables, the "
+                        "reference default)")
     # outputs
     p.add_argument("--save_trajectory", default=None)
+    p.add_argument("--save_composite", default=None,
+                   help="end-of-run composite raycast across ALL submaps "
+                        "under their optimised global poses (16-bit depth "
+                        "PNG, x256) — the ITMVoxelMapGraphManager composite "
+                        "visualisation")
     p.add_argument("--save_kitti_trajectory", default=None)
     p.add_argument("--save_mesh", default=None)
     p.add_argument("--save_raycast_depth_dir", default=None)
@@ -146,6 +156,7 @@ def build_config(args, rig):
             keyframe_every=args.keyframe_every,
             sensor={"monocular": "mono"}.get(args.sensor, args.sensor),
             use_external_odometry=not args.internal_odometry,
+            new_submap_threshold=args.new_submap_threshold,
         ),
     )
 
@@ -348,6 +359,16 @@ def main(argv=None) -> int:
         ntris = slam.save_mesh(args.save_mesh)
         if not args.quiet:
             print(f"mesh: {ntris} triangles -> {args.save_mesh}")
+    if args.save_composite:
+        import cv2
+
+        from .ops import raycast as rc_ops
+        rc = slam.raycast_composite()
+        cv2.imwrite(args.save_composite,
+                    np.asarray(rc_ops.depth_to_png16(rc.depth)))
+        if not args.quiet:
+            print(f"composite raycast ({slam.submaps.num_local_maps} "
+                  f"submaps) -> {args.save_composite}")
     if args.checkpoint_out:
         save_slam_checkpoint(args.checkpoint_out, slam)
 

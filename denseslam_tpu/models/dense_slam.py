@@ -222,6 +222,11 @@ def process_sequence(
             tracking_ok=vo.tracking_ok,
             num_inliers=vo.num_inliers,
             fused=is_kf,
+            # per-frame features so the host can register EVERY fused
+            # keyframe with the backend (not just the chunk's last — the
+            # reference's LocalMapping queue sees every keyframe)
+            feats_l=fe_state.feats_l,
+            feats_r=fe_state.feats_r,
         )
         return (fe_state, m, db), stats
 
@@ -240,15 +245,23 @@ def online_correction(
     opt_T: jax.Array,        # (C, 4, 4) optimised pose per DB slot
     opt_valid: jax.Array,    # (C,) which slots have an optimised pose
     cfg: SystemConfig,
+    key_filter=None,
+    tsdf_cfg=None,
 ) -> Tuple[tsdf_ops.MapState, FusionDB, jax.Array]:
     """De-fuse / re-fuse the worst-drift fused keyframes
     (reference: DenseSlam.cpp:298-432).
 
     opt_T comes from the backend (BA / pose graph), aligned to DB slots.
-    Returns (map, db, num_corrected)."""
+    Returns (map, db, num_corrected).
+
+    key_filter / tsdf_cfg: spatial-ownership seam for the sharded map —
+    replay is ownership-local (each shard de-fuses / re-fuses only the
+    blocks it owns; the drift scoring reads only the replicated DB, so
+    every shard agrees on WHICH frames to correct without communication).
+    """
     oc = cfg.correction
     intr = cfg.rig.intr
-    tc = cfg.tsdf
+    tc = tsdf_cfg if tsdf_cfg is not None else cfg.tsdf
 
     err = lie.pose_error_weighted(db.T_fused, opt_T)
     stale = db.valid & opt_valid & (err > oc.min_error)
@@ -270,10 +283,12 @@ def online_correction(
             T_old = db.T_fused[slot]
             T_new = opt_T[slot]
             # DEINTEGRATE at the fused pose (DenseSlam.cpp:390-393)
-            m2, s_old, k_old = tsdf_ops.allocate_for_frame(m, depth, T_old, intr, tc)
+            m2, s_old, k_old = tsdf_ops.allocate_for_frame(
+                m, depth, T_old, intr, tc, key_filter=key_filter)
             m2 = tsdf_ops.deintegrate(m2, s_old, k_old, depth, color, T_old, intr, tc)
             # REINTEGRATE at the optimised pose (DenseSlam.cpp:396-403)
-            m2, s_new, k_new = tsdf_ops.allocate_for_frame(m2, depth, T_new, intr, tc)
+            m2, s_new, k_new = tsdf_ops.allocate_for_frame(
+                m2, depth, T_new, intr, tc, key_filter=key_filter)
             m2 = tsdf_ops.integrate(m2, s_new, k_new, depth, color, T_new, intr, tc)
             db2 = db._replace(T_fused=db.T_fused.at[slot].set(T_new))
             return m2, db2
@@ -306,12 +321,15 @@ def purge_culled(
     db: FusionDB,
     culled: jax.Array,       # (C,) bool — keyframes removed by the backend
     cfg: SystemConfig,
+    key_filter=None,
+    tsdf_cfg=None,
 ) -> Tuple[tsdf_ops.MapState, FusionDB]:
     """De-fuse DB entries whose keyframe was culled and drop them
     (reference: DenseSlam.cpp:417-429). Processes up to correction_num per
-    call (bounded work, like the reference's per-frame budget)."""
+    call (bounded work, like the reference's per-frame budget).
+    key_filter / tsdf_cfg: ownership seam (see online_correction)."""
     intr = cfg.rig.intr
-    tc = cfg.tsdf
+    tc = tsdf_cfg if tsdf_cfg is not None else cfg.tsdf
     scores = jnp.where(db.valid & culled, 1.0, -1.0)
     _, idxs = jax.lax.top_k(scores, cfg.correction.correction_num)
 
@@ -325,7 +343,8 @@ def purge_culled(
             depth = db.depth[slot]
             color = tsdf_ops.pack_gray(db.gray[slot])
             T_old = db.T_fused[slot]
-            m2, s, k = tsdf_ops.allocate_for_frame(m, depth, T_old, intr, tc)
+            m2, s, k = tsdf_ops.allocate_for_frame(
+                m, depth, T_old, intr, tc, key_filter=key_filter)
             m2 = tsdf_ops.deintegrate(m2, s, k, depth, color, T_old, intr, tc)
             db2 = db._replace(
                 valid=db.valid.at[slot].set(False),
@@ -345,18 +364,100 @@ def purge_culled(
 class SubmapManager:
     """Host-side registry of per-submap MapStates with estimated global
     poses (reference surface: createNewLocalMap / setEstimatedGlobalPose /
-    getLocalMap / numLocalMaps, SURVEY.md section 2b)."""
+    getLocalMap / numLocalMaps, SURVEY.md section 2b).
+
+    Each submap carries:
+      * its own fusion DB (correction history SURVIVES submap spawns —
+        round-1 reset the DB on spawn and lost it),
+      * `spawn_poses[i]` — the camera pose at spawn (immutable record),
+      * `global_poses[i]` — the CURRENT estimated global anchor pose
+        (reference: estimatedGlobalPose), updated by the inter-submap
+        pose graph (`optimize_alignment`, the MiniSlamGraphLib role);
+        `delta(i) = global_poses[i] @ inv(spawn_poses[i])` is the rigid
+        correction applied to the submap's content at composite-render
+        time."""
 
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
         self.maps: List[tsdf_ops.MapState] = []
+        self.dbs: List[FusionDB] = []
         self.global_poses: List[np.ndarray] = []
-        self.create_new(np.eye(4, dtype=np.float32))
+        self.spawn_poses: List[np.ndarray] = []
+        self.anchor_frames: List[int] = []
+        self.create_new(np.eye(4, dtype=np.float32), anchor_frame_id=0)
 
-    def create_new(self, T_global: np.ndarray) -> int:
+    def create_new(self, T_global: np.ndarray,
+                   anchor_frame_id: int = -1) -> int:
         self.maps.append(tsdf_ops.make_map(self.cfg.tsdf))
+        self.dbs.append(make_fusion_db(self.cfg))
         self.global_poses.append(np.asarray(T_global))
+        self.spawn_poses.append(np.asarray(T_global))
+        self.anchor_frames.append(int(anchor_frame_id))
         return len(self.maps) - 1
+
+    def delta(self, idx: int) -> np.ndarray:
+        """Rigid correction of submap content: optimised anchor pose
+        relative to the spawn-time anchor pose."""
+        return np.asarray(
+            jnp.asarray(self.global_poses[idx])
+            @ lie.inv_T(jnp.asarray(self.spawn_poses[idx])))
+
+    def optimize_alignment(self, anchor_meas: dict,
+                           pg_fn=None) -> None:
+        """Relax all submap global poses against (a) optimised anchor-pose
+        measurements from the backend (`anchor_meas`: submap idx -> 4x4)
+        and (b) spawn-chain odometry between consecutive submaps — the
+        inter-submap pose graph (reference: MiniSlamGraphLib over local
+        maps, CMakeLists.txt:110 / DenseSlam.cpp:133-153). Node 0 is the
+        world anchor (fixed); submap i is node i+1."""
+        from ..ops import posegraph
+        s = len(self.maps)
+        if s == 0 or (not anchor_meas and s < 2):
+            return
+        bc = self.cfg.backend
+        g = posegraph.make_graph(bc)
+        n = s + 1
+        poses = np.stack([np.eye(4, dtype=np.float32)]
+                         + [p.astype(np.float32) for p in self.global_poses])
+        g = g._replace(
+            T_wc=g.T_wc.at[:n].set(jnp.asarray(poses)),
+            node_valid=g.node_valid.at[:n].set(True),
+        )
+        edges = []
+        # anchor measurements: world -> submap, strong
+        for idx, T in anchor_meas.items():
+            edges.append((0, idx + 1, np.asarray(T, np.float32), 5.0))
+        # spawn-chain odometry between consecutive submaps — the chain
+        # CONTAINS the drift the anchors correct, so it only constrains
+        # submaps that have no anchor measurement of their own (its job
+        # is to carry corrections to unanchored neighbours, not to pull
+        # anchored nodes back toward the drifted spawn chain)
+        for i in range(s - 1):
+            if i in anchor_meas and (i + 1) in anchor_meas:
+                continue
+            T_ij = np.asarray(
+                lie.inv_T(jnp.asarray(self.spawn_poses[i]))
+                @ jnp.asarray(self.spawn_poses[i + 1]))
+            edges.append((i + 1, i + 2, T_ij.astype(np.float32), 0.5))
+        if not edges:
+            return
+        e = len(edges)
+        g = g._replace(
+            edge_i=g.edge_i.at[:e].set(
+                jnp.asarray([x[0] for x in edges], jnp.int32)),
+            edge_j=g.edge_j.at[:e].set(
+                jnp.asarray([x[1] for x in edges], jnp.int32)),
+            T_ij=g.T_ij.at[:e].set(
+                jnp.asarray(np.stack([x[2] for x in edges]))),
+            edge_weight=g.edge_weight.at[:e].set(
+                jnp.asarray([x[3] for x in edges], jnp.float32)),
+        )
+        if pg_fn is None:
+            pg_fn = functools.partial(posegraph.optimize, cfg=bc)
+        g = pg_fn(g)
+        opt = np.asarray(g.T_wc[1:n])
+        for i in range(s):
+            self.global_poses[i] = opt[i]
 
     @property
     def num_local_maps(self) -> int:
@@ -425,10 +526,10 @@ class DenseSLAM:
     """Host-side pipeline: thin loop over jitted device programs.
 
     Pass `mesh` (a jax.sharding.Mesh over the `map` axis) to run the dense
-    map SHARDED across devices: fusion and raycast go through the SPMD
-    programs in parallel/sharded_map.py (ownership-partitioned block table,
-    pmin raycast combine). Online correction / purge currently require the
-    single-chip map (de-fusion replay is not yet sharded)."""
+    map SHARDED across devices: fusion, raycast, online correction and
+    culled-frame purge all go through the SPMD programs in
+    parallel/sharded_map.py (ownership-partitioned block table, pmin
+    raycast combine, ownership-local de-fusion replay)."""
 
     def __init__(self, cfg: SystemConfig, seed: int = 0, mesh=None):
         self.cfg = cfg
@@ -442,13 +543,9 @@ class DenseSLAM:
                 "matters.", stacklevel=2)
         self.fe_state = fe.init_frontend(cfg, seed=seed)
         self.submaps = SubmapManager(cfg)
-        self.db = make_fusion_db(cfg)
         self._sharded = None
         if mesh is not None:
             from ..parallel.sharded_map import ShardedTsdf
-            if cfg.correction.enabled:
-                raise NotImplementedError(
-                    "online correction is not yet supported with a sharded map")
             self._sharded = ShardedTsdf(cfg, mesh)
             self.submaps.maps[0] = self._sharded.make_map()
         self.frame = 0
@@ -515,12 +612,26 @@ class DenseSLAM:
                 functools.partial(rc_ops.raycast, intr=cfg.rig.intr,
                                   cfg=cfg.tsdf)
             )
+        from ..ops import posegraph as pg_ops
+        self._pg_submaps = jax.jit(
+            functools.partial(pg_ops.optimize, cfg=cfg.backend))
         self._postproc = jax.jit(functools.partial(depth_postprocess, cfg=cfg))
         self._correct = jax.jit(functools.partial(online_correction, cfg=cfg))
         self._purge = jax.jit(functools.partial(purge_culled, cfg=cfg))
         self._icp = jax.jit(
             functools.partial(icp_ops.track, intr=cfg.rig.intr)
         )
+
+    # -- fusion DB: lives with the ACTIVE submap (correction history
+    # survives submap spawns; round-1 reset it and lost the history) ------
+
+    @property
+    def db(self) -> FusionDB:
+        return self.submaps.dbs[self.submaps.active_idx]
+
+    @db.setter
+    def db(self, value: FusionDB) -> None:
+        self.submaps.dbs[self.submaps.active_idx] = value
 
     # -- per-frame ---------------------------------------------------------
 
@@ -531,6 +642,7 @@ class DenseSLAM:
         depth: Optional[jax.Array] = None,
         timestamp: Optional[float] = None,
         pose_override: Optional[jax.Array] = None,
+        budget_scale: float = 1.0,
     ) -> dict:
         """Process one stereo (or RGB-D) frame. Returns telemetry dict.
 
@@ -538,6 +650,8 @@ class DenseSLAM:
         frame, fusion at keyframe rate, optional depth post-processing.
         pose_override injects an external pose (the reference's
         SetPoseLocalMap path, InfiniTamDriver.h:173-178) and skips odometry.
+        budget_scale is the PD controller's RANSAC-budget knob (a device
+        scalar — no recompile when it changes).
         """
         import time as _time
 
@@ -577,7 +691,9 @@ class DenseSLAM:
         elif cfg.pipeline.use_external_odometry:
             if right is None:
                 raise ValueError("stereo VO needs a right image")
-            self.fe_state, vo = self._vo(self.fe_state, left, right)
+            self.fe_state, vo = self._vo(
+                self.fe_state, left, right,
+                budget_scale=jnp.float32(budget_scale))
             T_wc = vo.T_wc
             tracking_ok = bool(vo.tracking_ok)
             vo_stats = dict(
@@ -648,8 +764,10 @@ class DenseSLAM:
                 visible = int(jnp.sum(
                     (m.last_seen == (m.frame - 1)) & m.table.valid))
                 if self.submaps.should_start_new(visible, thr):
-                    self.submaps.create_new(np.asarray(T_wc))
-                    self.db = make_fusion_db(cfg)
+                    # the old submap keeps its fusion DB (its correction
+                    # history stays replayable); the new one starts fresh
+                    self.submaps.create_new(np.asarray(T_wc),
+                                            anchor_frame_id=self.frame)
 
         self.pose_history.append((self.frame, np.asarray(T_wc)))
         self.frame += 1
@@ -666,31 +784,63 @@ class DenseSLAM:
     # -- global consistency ------------------------------------------------
 
     def apply_pose_updates(self, frame_ids: np.ndarray, poses: np.ndarray) -> int:
-        """Feed backend-optimised poses; runs OnlineCorrection when enough
-        drift accumulated. Returns number of re-fused keyframes."""
+        """Feed backend-optimised poses; runs OnlineCorrection on EVERY
+        device-resident submap whose fusion DB holds affected frames (the
+        correction history survives submap spawns), then relaxes the
+        inter-submap pose graph from optimised anchor keyframes. Returns
+        number of re-fused keyframes."""
+        lut = {int(f): i for i, f in enumerate(frame_ids)}
+
+        # inter-submap alignment: a submap whose anchor keyframe was
+        # optimised gets a fresh global-pose measurement
+        if self.submaps.num_local_maps > 1:
+            anchor_meas = {
+                si: poses[lut[af]]
+                for si, af in enumerate(self.submaps.anchor_frames)
+                if af in lut
+            }
+            if anchor_meas:
+                self.submaps.optimize_alignment(anchor_meas,
+                                                pg_fn=self._pg_submaps)
+
         if not self.cfg.correction.enabled:
             return 0
-        db_ids = np.asarray(self.db.frame_id)
-        c = db_ids.shape[0]
-        opt_T = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
-        opt_valid = np.zeros((c,), bool)
-        lut = {int(f): i for i, f in enumerate(frame_ids)}
-        for slot, fid in enumerate(db_ids):
-            if int(fid) in lut:
-                opt_T[slot] = poses[lut[int(fid)]]
-                opt_valid[slot] = True
-        m, db, num = self._correct(
-            self.submaps.active, self.db, jnp.asarray(opt_T), jnp.asarray(opt_valid)
-        )
-        self.submaps.active = m
-        self.db = db
-        return int(num)
+        total = 0
+        for si in range(self.submaps.num_local_maps):
+            if self.submaps.is_on_host(si):
+                continue
+            db_i = self.submaps.dbs[si]
+            db_ids = np.asarray(db_i.frame_id)
+            c = db_ids.shape[0]
+            opt_T = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
+            opt_valid = np.zeros((c,), bool)
+            for slot, fid in enumerate(db_ids):
+                if int(fid) in lut:
+                    opt_T[slot] = poses[lut[int(fid)]]
+                    opt_valid[slot] = True
+            if not opt_valid.any():
+                continue
+            # sharded mode shards the ACTIVE map only; inactive submaps
+            # (if spawned) stay single-chip and use the single-chip replay
+            if self._sharded is not None and si == self.submaps.active_idx:
+                correct = self._sharded.correct
+            else:
+                correct = self._correct
+            m, db, num = correct(
+                self.submaps.maps[si], db_i,
+                jnp.asarray(opt_T), jnp.asarray(opt_valid))
+            self.submaps.maps[si] = m
+            self.submaps.dbs[si] = db
+            total += int(num)
+        return total
 
     def purge_keyframes(self, culled_frame_ids: np.ndarray) -> None:
         """Remove fused keyframes the backend culled (DenseSlam.cpp:417-429)."""
         db_ids = np.asarray(self.db.frame_id)
         culled = jnp.asarray(np.isin(db_ids, culled_frame_ids))
-        m, db = self._purge(self.submaps.active, self.db, culled)
+        purge = (self._sharded.purge if self._sharded is not None
+                 else self._purge)
+        m, db = purge(self.submaps.active, self.db, culled)
         self.submaps.active = m
         self.db = db
 
@@ -720,13 +870,26 @@ class DenseSLAM:
     def raycast_composite(self, T_wc: Optional[jax.Array] = None) -> rc_ops.Raycast:
         """Raycast across ALL device-resident submaps, min-depth combined —
         the multi-local-map rendering the reference gets from
-        ITMVoxelMapGraphManager's composite visualisation."""
+        ITMVoxelMapGraphManager's composite visualisation. Each submap is
+        rendered under its CURRENT alignment correction (delta = optimised
+        global anchor pose relative to spawn — estimatedGlobalPose role),
+        so pose-graph updates visibly realign the composite."""
         T = T_wc if T_wc is not None else jnp.asarray(self.fe_state.T_wc)
         best: Optional[rc_ops.Raycast] = None
         for idx in range(self.submaps.num_local_maps):
             if self.submaps.is_on_host(idx):
                 continue
-            rc = self._raycast(self.submaps.maps[idx], T)
+            D = jnp.asarray(self.submaps.delta(idx))
+            # render the submap as if its content were rigidly moved by D:
+            # camera inv(D) @ T sees map-frame content exactly as T sees
+            # D-corrected content; points/normals map back through D
+            rc = self._raycast(self.submaps.maps[idx], lie.inv_T(D) @ T)
+            pts = lie.transform_points(
+                D, rc.points.reshape(-1, 3)).reshape(rc.points.shape)
+            pts = jnp.where(rc.mask[..., None], pts, 0.0)
+            nrm = (rc.normals.reshape(-1, 3) @ D[:3, :3].T).reshape(
+                rc.normals.shape)
+            rc = rc._replace(points=pts, normals=nrm)
             if best is None:
                 best = rc
                 continue

@@ -35,6 +35,11 @@ class FrontendState(NamedTuple):
                                  # constant-velocity prior for gating)
     key: jax.Array               # PRNG key for RANSAC sampling
     frame: jax.Array             # i32 frame counter
+    img_l: jax.Array             # (H, W) previous exposure-compensated left
+                                 # image — the gain-estimation anchor
+    exposure: jax.Array          # f32 scalar multiplicative exposure
+                                 # compensation (matcher gain loop,
+                                 # reference: matcher.cpp:291-333)
 
 
 class VOOutput(NamedTuple):
@@ -60,6 +65,7 @@ def init_frontend(cfg: SystemConfig, T_init: jax.Array | None = None,
                   seed: int = 0) -> FrontendState:
     eye = jnp.eye(4, dtype=jnp.float32)
     n = cfg.frontend.max_features
+    h, w = cfg.rig.intr.height, cfg.rig.intr.width
     return FrontendState(
         feats_l=_empty_features(cfg),
         feats_r=_empty_features(cfg),
@@ -71,6 +77,8 @@ def init_frontend(cfg: SystemConfig, T_init: jax.Array | None = None,
         prior_ok=jnp.zeros((), bool),
         key=jax.random.PRNGKey(seed),
         frame=jnp.zeros((), jnp.int32),
+        img_l=jnp.zeros((h, w), jnp.float32),
+        exposure=jnp.ones((), jnp.float32),
     )
 
 
@@ -79,9 +87,22 @@ def vo_step(
     left: jax.Array,
     right: jax.Array,
     cfg: SystemConfig,
+    budget_scale: jax.Array | None = None,
 ) -> Tuple[FrontendState, VOOutput]:
-    """One frame of stereo VO. Pure function; jit it once per image size."""
+    """One frame of stereo VO. Pure function; jit it once per image size.
+
+    budget_scale: optional device scalar from the PD feature-budget
+    controller; modulates the RANSAC hypothesis budget (ops/ransac.py)."""
     fc = cfg.frontend
+    if fc.gain_normalization:
+        # Exposure compensation (the matcher gain loop, reference:
+        # matcher.cpp:291-333): images are corrected by the running
+        # exposure estimate before feature extraction so SAD/descriptor
+        # costs stay comparable across exposure changes; the residual
+        # gain measured on this frame's matches updates the estimate
+        # (one-frame lag — exact for smooth auto-exposure ramps).
+        left = left * state.exposure
+        right = right * state.exposure
     f_lc = feat_ops.detect(left, fc)
     f_rc = feat_ops.detect(right, fc)
     f_lc = feat_ops.bucket(f_lc, cfg.rig.intr.width, cfg.rig.intr.height, fc)
@@ -110,7 +131,8 @@ def vo_step(
         disp_lc = disp_rc = jnp.full((n,), -1.0)
     key, sub = jax.random.split(state.key)
     res = ransac.estimate_stereo_motion(q, cfg.rig, fc, sub,
-                                        T_init=state.T_delta_prev)
+                                        T_init=state.T_delta_prev,
+                                        budget_scale=budget_scale)
 
     # Constant-velocity fallback when RANSAC fails (reference keeps the last
     # motion on libviso2 failure, VisoSparseSFProvider.cpp:49-51).
@@ -118,6 +140,19 @@ def vo_step(
     T_delta = jnp.where(use_est, res.T_delta, state.T_delta_prev)
     T_delta = jnp.where(state.initialized, T_delta, jnp.eye(4, dtype=jnp.float32))
     T_wc = state.T_wc @ lie.inv_T(T_delta)
+
+    if fc.gain_normalization:
+        # residual gain of this (compensated) frame vs the previous one
+        # over temporally matched patches; fold into the running estimate
+        g = matching.estimate_gain(
+            state.img_l, left, q.uv_lp, q.uv_lc,
+            q.valid & state.initialized)
+        g = jnp.clip(g, 0.7, 1.4)   # trust region per frame
+        exposure = jnp.clip(state.exposure / g, 0.25, 4.0)
+        img_l = left
+    else:
+        exposure = state.exposure
+        img_l = state.img_l
 
     new_state = FrontendState(
         feats_l=f_lc,
@@ -130,6 +165,8 @@ def vo_step(
         prior_ok=use_est,
         key=key,
         frame=state.frame + 1,
+        img_l=img_l,
+        exposure=exposure,
     )
     out = VOOutput(
         T_wc=T_wc,
@@ -217,6 +254,8 @@ def rgbd_vo_step(
         prior_ok=use_est,
         key=key,
         frame=state.frame + 1,
+        img_l=state.img_l,
+        exposure=state.exposure,
     )
     out = VOOutput(
         T_wc=T_wc,
@@ -282,6 +321,8 @@ def mono_vo_step(
         prior_ok=use_est,
         key=key,
         frame=state.frame + 1,
+        img_l=state.img_l,
+        exposure=state.exposure,
     )
     out = VOOutput(
         T_wc=T_wc,

@@ -67,6 +67,7 @@ class SLAMSystem:
         self.num_loops = 0
         self.num_corrections = 0
         self.num_relocs = 0
+        self.num_culled = 0
         self._lost_streak = 0
         self._seq_fn = None
 
@@ -76,7 +77,8 @@ class SLAMSystem:
 
         t0 = _time.perf_counter()
         out = self.slam.process_frame(left, right, depth=depth,
-                                      timestamp=timestamp)
+                                      timestamp=timestamp,
+                                      budget_scale=self.pd.scale)
 
         # Relocalization after sustained tracking loss (ORB-SLAM2
         # capability: the constant-velocity fallback alone never re-locks).
@@ -123,9 +125,8 @@ class SLAMSystem:
     def process_chunk(self, lefts, rights) -> dict:
         """Throughput mode: run a frame batch through the batched
         `process_sequence` scan (ONE device program — see its docstring for
-        why the host loop costs ~3x), then do the two-rate backend work at
-        chunk rate: the chunk's last frame becomes the backend keyframe
-        (the reference also keyframes at a sparser rate than fusion).
+        why the host loop costs ~3x), then register every fused keyframe
+        with the backend and run the two-rate backend work between chunks.
 
         Returns the last frame's telemetry plus per-chunk stats arrays."""
         import time as _time
@@ -151,20 +152,30 @@ class SLAMSystem:
         slam.frame = frame0 + n
 
         T_last = np.asarray(stats["T_wc"][-1])
-        fused_any = bool(np.asarray(stats["fused"]).any())
+        fused_flags = np.asarray(stats["fused"])
+        fused_any = bool(fused_flags.any())
         for i in range(n):
             slam.pose_history.append(
                 (int(frame0 + i), np.asarray(stats["T_wc"][i])))
 
-        if fused_any:
+        # register EVERY fused keyframe with the backend (the reference's
+        # LocalMapping queue receives every keyframe; registering only the
+        # chunk tail starved loop closure/BA of 1/chunk of the keyframes)
+        for i in np.flatnonzero(fused_flags):
             self.backend.add_keyframe(
-                int(frame0 + n - 1), T_last, st.feats_l, st.feats_r)
+                int(frame0 + i),
+                np.asarray(stats["T_wc"][i]),
+                jax.tree.map(lambda x: x[i], stats["feats_l"]),
+                jax.tree.map(lambda x: x[i], stats["feats_r"]),
+            )
             self._backend_tick()
 
         dt = (_time.perf_counter() - t0) * 1000.0
+        ok_frames = np.asarray(stats["tracking_ok"])
         return dict(
             T_wc=T_last,
-            tracking_ok=bool(np.asarray(stats["tracking_ok"])[1:].all()),
+            tracking_ok=bool(ok_frames[1:].all()),
+            tracking_ok_frames=ok_frames,     # which frame failed, exactly
             fused=fused_any,
             frames=n,
             chunk_ms=dt,
@@ -191,6 +202,14 @@ class SLAMSystem:
                 ids, opt = res
                 self.num_corrections += self.slam.apply_pose_updates(ids, opt)
                 self._resync_pose()
+                # redundant-keyframe culling on the BA window's
+                # covisibility evidence; the culled frames' fused
+                # contributions are de-integrated from the dense map
+                # (reference: DenseSlam.cpp:417-429)
+                culled = self.backend.cull_redundant()
+                if culled:
+                    self.slam.purge_keyframes(np.asarray(culled))
+                    self.num_culled += len(culled)
 
     def _resync_pose(self) -> None:
         """Propagate the backend's latest optimised keyframe pose into the

@@ -132,8 +132,16 @@ def estimate_stereo_motion(
     cfg: FrontendConfig,
     key: jax.Array,
     T_init: jax.Array | None = None,
+    budget_scale: jax.Array | None = None,
 ) -> VOResult:
-    """Full RANSAC + refit solver over quad matches."""
+    """Full RANSAC + refit solver over quad matches.
+
+    budget_scale (device f32 scalar in (0, 1], optional) is the PD
+    feature-budget controller's knob (reference: DenseSlam.h:382-409 — the
+    reference modulates the ORB feature count to hold the target frame
+    time; under jit feature caps are compile-time constants, so the
+    runtime-variable knob here is the RANSAC hypothesis budget): only the
+    first ceil(K * budget_scale) hypotheses may win the consensus vote."""
     n = q.uv_lc.shape[0]
     pts_prev, ok = triangulate_prev(q, rig)
     obs_l = q.uv_lc
@@ -169,6 +177,12 @@ def estimate_stereo_motion(
         return jnp.sum(good.astype(jnp.int32)), good
 
     counts, inlier_sets = jax.vmap(count)(T_hyp)              # (K,), (K, N)
+    if budget_scale is not None:
+        k_active = jnp.ceil(
+            jnp.float32(k) * jnp.clip(budget_scale, 1.0 / k, 1.0)
+        ).astype(jnp.int32)
+        active = jnp.arange(k, dtype=jnp.int32) < jnp.maximum(k_active, 1)
+        counts = jnp.where(active, counts, -1)
     best = jnp.argmax(counts)
     best_inliers = inlier_sets[best]
     best_T = T_hyp[best]

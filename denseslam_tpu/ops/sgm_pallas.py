@@ -119,9 +119,14 @@ def _v_kernel(*refs, p1, p2, rev, acc, hc):
     carry[...] = prev
 
 
-def _pick_hc(h: int) -> int:
+def _pick_hc(h: int, dtype) -> int:
+    """Vertical chunk height, dtype-bounded like _wc: a 4-byte volume gets
+    half the rows so the (hc, W, D) block bytes match the known-good bf16
+    footprint (hc=10 f32 blocks at KITTI width are ~6.3 MB each — over
+    VMEM once double-buffered, same crash mode as the horizontal case)."""
+    limit = 10 if jnp.dtype(dtype).itemsize <= 2 else 5
     for hc in (10, 8, 5, 4, 2):
-        if h % hc == 0:
+        if hc <= limit and h % hc == 0:
             return hc
     return 1
 
@@ -139,7 +144,7 @@ def _direction_call(cost, acc, *, axis, rev, p1, p2, interpret):
                                  acc=acc is not None, wc=wc)
         carry_shape = (hp, d)
     else:                                          # vertical
-        hc = _pick_hc(hp)
+        hc = _pick_hc(hp, cost.dtype)
         n = hp // hc
         blk = pl.BlockSpec(
             (hc, wp, d),

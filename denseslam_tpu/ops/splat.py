@@ -36,10 +36,12 @@ _I32_MAX = np.int32(2**31 - 1)
 
 
 class SplatConfig(NamedTuple):
-    """Static caps for the splat pipeline (compile-time shapes)."""
+    """Static caps for the splat pipeline (compile-time shapes).
+    Defaults mirror config.SplatParams (see its docstring for why
+    surface_eta is 0.8 — grazing-ground coverage)."""
     max_blocks: int = 2048        # frustum-visible block cap
-    max_voxels: int = 1 << 18     # near-surface voxel cap (262k)
-    surface_eta: float = 0.3      # |tsdf| threshold for "near surface"
+    max_voxels: int = 1 << 19     # near-surface voxel cap (524k)
+    surface_eta: float = 0.8      # |tsdf| threshold for "near surface"
     z_bits: int = 12              # z-buffer depth quantisation bits
     fill_levels: int = 3          # pull-push hole-fill pyramid depth
 
@@ -229,6 +231,7 @@ def refine_depth(
     intr: Intrinsics,
     cfg: TsdfConfig,
     steps: int = 2,
+    prune_sdf: float = 0.0,
 ):
     """Sub-voxel depth refinement: sphere-tracing correction steps from the
     splat estimate using trilinear TSDF samples (the reference raycaster's
@@ -236,7 +239,14 @@ def refine_depth(
     ~half a voxel of the zero crossing, so 1-2 Newton-style steps
     (d += sdf * mu along the ray) converge; cost is 8 pool lookups per
     hit pixel per step — use via `PipelineConfig.splat_refine` when ICP /
-    depth-eval accuracy matters more than the ~30 ms/step at KITTI res."""
+    depth-eval accuracy matters more than the ~30 ms/step at KITTI res.
+
+    prune_sdf > 0 additionally INVALIDATES pixels whose refined point
+    samples an inconsistent field (|tsdf| > prune_sdf, or unobserved
+    space): the pull-push hole fill fabricates depth in disocclusions
+    (foreground depth pulled over background), and those fabrications are
+    exactly the pixels that cannot be reconciled with the TSDF — pruning
+    turns multi-metre tail errors into honest misses."""
     h, w = depth.shape
     mu = cfg.trunc_dist_m
     vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -246,6 +256,8 @@ def refine_depth(
     R = T_wc[:3, :3]
     t = T_wc[:3, 3]
     d = depth
+    sdf = jnp.zeros_like(depth)
+    wmin = jnp.zeros_like(depth)
     for _ in range(steps):
         cx = dirx_c * d
         cy = diry_c * d
@@ -255,4 +267,6 @@ def refine_depth(
         sdf, wmin = tsdf_ops.sample_tsdf_trilinear_xyz(m, px, py, pz, cfg)
         ok = mask & (wmin > 0) & (jnp.abs(sdf) < 1.0)
         d = jnp.where(ok, jnp.maximum(d + sdf * mu, cfg.min_depth_m), d)
+    if prune_sdf > 0:
+        mask = mask & (wmin > 0) & (jnp.abs(sdf) < prune_sdf)
     return jnp.where(mask, d, 0.0)

@@ -228,6 +228,15 @@ def compute_depth(left: jax.Array, right: jax.Array, rig: StereoRig,
     if cfg.use_sgm and cfg.sgm_backend == "pallas_fused":
         # fully fused aggregation + WTA: the aggregated volume never
         # materialises; only (H, W) maps come back from the kernel
+        if jax.default_backend() not in ("cpu",):
+            # The fused kernel is interpret-mode exact but the compiled
+            # combination still crashes the TPU Mosaic compile helper
+            # (bisect in progress — see ROADMAP.md / sgm_pallas.py). Fail
+            # loudly instead of wedging the shared remote-compile service.
+            raise RuntimeError(
+                "sgm_backend='pallas_fused' does not yet compile on real "
+                "TPU (Mosaic compile-helper crash; see ROADMAP.md). Use "
+                "'xla' (default) or run on CPU/interpret for validation.")
         from .sgm_pallas import sgm_wta_pallas
         maps = sgm_wta_pallas(
             cost, cfg.sgm_p1, cfg.sgm_p2,

@@ -173,11 +173,19 @@ def allocate_for_frame(
     T_wc: jax.Array,
     intr: Intrinsics,
     cfg: TsdfConfig,
+    key_filter=None,
 ) -> Tuple[MapState, jax.Array, jax.Array]:
     """Allocate blocks touched by this frame; returns (map, visible_slots
     (max_visible_blocks,), visible_mask) — the static-cap analogue of ITM's
-    visible-entry list."""
+    visible-entry list.
+
+    key_filter (optional, keys -> keys) drops blocks this table must not
+    own by mapping them to EMPTY_KEY — the spatial-ownership seam for the
+    sharded map (parallel/sharded_map.py): each shard allocates (and hence
+    integrates / de-integrates / corrects) only the blocks it owns."""
     keys = touched_block_keys(depth, T_wc, intr, cfg)
+    if key_filter is not None:
+        keys = key_filter(keys)
     uniq, umask, total = vhash.unique_keys(keys, cfg.max_visible_blocks)
     table, slots, fresh = vhash.insert_keys(m.table, uniq, umask, cfg.probe_len)
     live = umask & (slots >= 0)

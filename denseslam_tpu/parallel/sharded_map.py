@@ -87,43 +87,79 @@ def make_sharded_map(cfg: TsdfConfig, mesh: Mesh) -> tsdf_ops.MapState:
     return jax.tree.map(place, m)
 
 
+def _owner_filter(n_devices: int):
+    """keys -> keys ownership filter for THIS device (under shard_map)."""
+    from ..ops import hash as vhash
+    dev = jax.lax.axis_index(MAP_AXIS)
+
+    def kf(keys):
+        return jnp.where(owner_of_keys(keys, n_devices) == dev,
+                         keys, vhash.EMPTY_KEY)
+
+    return kf
+
+
+def _psum_counters(m, old_overflow, old_decayed):
+    """Counters accumulate per-device deltas; psum them so the scalars stay
+    replicated (their out_spec is P())."""
+    return m._replace(
+        overflow=old_overflow
+        + jax.lax.psum(m.overflow - old_overflow, MAP_AXIS),
+        decayed_blocks=old_decayed
+        + jax.lax.psum(m.decayed_blocks - old_decayed, MAP_AXIS),
+    )
+
+
 def _fuse_local(m, depth, gray, T_wc, *, local_cfg: TsdfConfig,
                 intr: Intrinsics, n_devices: int,
                 decay_params=None, slide_params=None):
     """Per-device fusion body (runs under shard_map)."""
-    dev = jax.lax.axis_index(MAP_AXIS)
     old_overflow = m.overflow
     old_decayed = m.decayed_blocks
-    from ..ops import hash as vhash
-    keys = tsdf_ops.touched_block_keys(depth, T_wc, intr, local_cfg)
-    keys = jnp.where(owner_of_keys(keys, n_devices) == dev, keys, vhash.EMPTY_KEY)
-    uniq, umask, total = vhash.unique_keys(keys, local_cfg.max_visible_blocks)
-    table, slots, fresh = vhash.insert_keys(m.table, uniq, umask, local_cfg.probe_len)
-    live = umask & (slots >= 0)
-    widx = jnp.where(fresh, slots, m.num_slots)
-    alloc_frame = m.alloc_frame.at[widx].set(m.frame, mode="drop")
-    seen_idx = jnp.where(live, slots, m.num_slots)
-    last_seen = m.last_seen.at[seen_idx].set(m.frame, mode="drop")
-    dropped = jnp.maximum(total - jnp.int32(local_cfg.max_visible_blocks), 0)
-    failed = jnp.sum((umask & (slots < 0)).astype(jnp.int32))
-    m = m._replace(table=table, alloc_frame=alloc_frame, last_seen=last_seen,
-                   overflow=m.overflow + dropped + failed)
+    m, slots, live = tsdf_ops.allocate_for_frame(
+        m, depth, T_wc, intr, local_cfg, key_filter=_owner_filter(n_devices))
     color = tsdf_ops.pack_gray(gray)
-    m = tsdf_ops.integrate(m, jnp.where(live, slots, -1), live, depth, color,
-                           T_wc, intr, local_cfg)
+    m = tsdf_ops.integrate(m, slots, live, depth, color, T_wc, intr,
+                           local_cfg)
     if slide_params is not None and slide_params.enabled:
         m = tsdf_ops.slide_window(m, slide_params.max_age)
     if decay_params is not None and decay_params.enabled:
         m = tsdf_ops.decay(m, decay_params.max_decay_weight,
                            decay_params.min_decay_age)
-    # Counters accumulate per-device deltas; psum them so the scalars stay
-    # replicated (their out_spec is P()).
-    m = m._replace(
-        overflow=old_overflow + jax.lax.psum(m.overflow - old_overflow, MAP_AXIS),
-        decayed_blocks=old_decayed
-        + jax.lax.psum(m.decayed_blocks - old_decayed, MAP_AXIS),
-    )
+    m = _psum_counters(m, old_overflow, old_decayed)
     return tsdf_ops.advance_frame(m)
+
+
+def _correct_local(m, db, opt_T, opt_valid, *, cfg: SystemConfig,
+                   local_cfg: TsdfConfig, n_devices: int):
+    """Per-device online correction (runs under shard_map).
+
+    De-fusion replay is OWNERSHIP-LOCAL: the drift scoring reads only the
+    replicated fusion DB (every shard independently agrees on which frames
+    to correct), and each shard de-fuses / re-fuses exactly the blocks it
+    owns — no communication beyond the counter psum. This shards the
+    reference's core novelty (OnlineCorrection, DenseSlam.cpp:298-432)."""
+    from ..models.dense_slam import online_correction
+    old_overflow = m.overflow
+    old_decayed = m.decayed_blocks
+    m, db, num = online_correction(
+        m, db, opt_T, opt_valid, cfg,
+        key_filter=_owner_filter(n_devices), tsdf_cfg=local_cfg)
+    m = _psum_counters(m, old_overflow, old_decayed)
+    return m, db, num
+
+
+def _purge_local(m, db, culled, *, cfg: SystemConfig,
+                 local_cfg: TsdfConfig, n_devices: int):
+    """Per-device culled-keyframe purge (runs under shard_map)."""
+    from ..models.dense_slam import purge_culled
+    old_overflow = m.overflow
+    old_decayed = m.decayed_blocks
+    m, db = purge_culled(
+        m, db, culled, cfg,
+        key_filter=_owner_filter(n_devices), tsdf_cfg=local_cfg)
+    m = _psum_counters(m, old_overflow, old_decayed)
+    return m, db
 
 
 def _raycast_local(m, T_wc, *, local_cfg: TsdfConfig, intr: Intrinsics,
@@ -219,6 +255,34 @@ class ShardedTsdf:
                 rc, mesh=mesh,
                 in_specs=(mspec, P()),
                 out_specs=jax.tree.map(lambda _: P(), rc_ops.Raycast(0, 0, 0, 0, 0)),
+                check_vma=False,
+            )
+        )
+
+        # sharded online correction + culled-keyframe purge: the fusion DB
+        # (images + poses) is REPLICATED (P()) — replay work is what shards
+        from ..models.dense_slam import FusionDB
+        dbspec = FusionDB(depth=P(), gray=P(), T_fused=P(),
+                          frame_id=P(), valid=P(), head=P())
+        correct = functools.partial(
+            _correct_local, cfg=cfg, local_cfg=self.local_cfg,
+            n_devices=self.n)
+        self.correct = jax.jit(
+            jax.shard_map(
+                correct, mesh=mesh,
+                in_specs=(mspec, dbspec, P(), P()),
+                out_specs=(mspec, dbspec, P()),
+                check_vma=False,
+            )
+        )
+        purge = functools.partial(
+            _purge_local, cfg=cfg, local_cfg=self.local_cfg,
+            n_devices=self.n)
+        self.purge = jax.jit(
+            jax.shard_map(
+                purge, mesh=mesh,
+                in_specs=(mspec, dbspec, P()),
+                out_specs=(mspec, dbspec),
                 check_vma=False,
             )
         )

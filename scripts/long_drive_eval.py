@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Full-scale trajectory validation (VERDICT r1 item 2): a >=500-frame
+full-resolution synthetic LOOP drive through the COMPLETE SLAMSystem —
+stereo VO + SGM depth + TSDF fusion + local BA + loop closing + online
+correction + decay/slide-window — with photometric noise and occluders,
+scored against exact ground truth:
+
+  * ATE / RPE / KITTI rot+trans errors of the full trajectory,
+  * raycast-depth metrics (MAE/RMSE/AbsRel/delta-thresholds) of the fused
+    map vs GT depth at sampled keyframes,
+  * loop / correction / culling counters, fps.
+
+Writes a human-readable RESULTS block and a JSON record. Run on the real
+TPU (the driver workload); a small `--frames 40 --width 320 --height 240`
+run works on CPU for smoke-testing.
+
+Usage: python scripts/long_drive_eval.py [--frames 500] [--out RESULTS.md]
+           [--json results_long_drive.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--closure", type=int, default=40,
+                    help="extra frames past the loop start (the revisit)")
+    ap.add_argument("--width", type=int, default=1226)
+    ap.add_argument("--height", type=int, default=370)
+    ap.add_argument("--radius", type=float, default=18.0)
+    ap.add_argument("--photo-noise", type=float, default=2.0,
+                    help="per-pixel gaussian intensity noise sigma")
+    ap.add_argument("--gain-amp", type=float, default=0.15,
+                    help="slow sinusoidal exposure modulation amplitude")
+    ap.add_argument("--keyframe-every", type=int, default=4)
+    ap.add_argument("--depth-eval-every", type=int, default=25,
+                    help="evaluate raycast depth at every Nth fused frame")
+    ap.add_argument("--render-chunk", type=int, default=16)
+    ap.add_argument("--out", default=None, help="append RESULTS block here")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from denseslam_tpu.config import (OnlineCorrectionParams,
+                                      PipelineConfig, SlideWindowParams,
+                                      StereoConfig, SystemConfig,
+                                      TsdfConfig, VoxelDecayParams)
+    from denseslam_tpu.eval import depth_metrics, traj_metrics
+    from denseslam_tpu.io import synthetic
+    from denseslam_tpu.models.system import SLAMSystem
+    from denseslam_tpu.utils.camera import Intrinsics, StereoRig
+
+    w, h = args.width, args.height
+    scale = w / 1226.0
+    intr = Intrinsics(fx=707.09 * scale, fy=707.09 * scale,
+                      cx=(w - 1) / 2.0, cy=(h - 1) / 2.0, width=w, height=h)
+    rig = StereoRig(intr=intr, baseline_m=0.537)
+    cfg = SystemConfig(
+        rig=rig,
+        tsdf=TsdfConfig(
+            voxel_size_m=0.06, trunc_dist_m=0.24, table_slots=1 << 17,
+            max_visible_blocks=1 << 13, max_alloc_per_frame=1 << 13,
+            max_depth_m=40.0, sampler="pallas",
+        ),
+        stereo=StereoConfig(cost_dtype="bfloat16"),
+        decay=VoxelDecayParams(enabled=True, min_decay_age=30,
+                               max_decay_weight=2),
+        slide_window=SlideWindowParams(enabled=True, max_age=60),
+        correction=OnlineCorrectionParams(enabled=True, correction_num=5,
+                                          start_correction_num=4,
+                                          min_error=0.01),
+        pipeline=PipelineConfig(keyframe_every=args.keyframe_every,
+                                fusion_db_capacity=64),
+    )
+    if args.cpu:  # small-shape smoke mode
+        cfg = dataclasses.replace(
+            cfg, tsdf=dataclasses.replace(
+                cfg.tsdf, table_slots=1 << 14, max_visible_blocks=1 << 11,
+                max_alloc_per_frame=1 << 11, sampler="gather"),
+            stereo=StereoConfig(max_disparity=64))
+
+    n_total = args.frames + args.closure
+    gt = synthetic.make_loop_trajectory(args.frames, radius_m=args.radius,
+                                        closure_frames=args.closure)
+    scene = synthetic.loop_scene(gt)
+    rng = np.random.default_rng(0)
+
+    system = SLAMSystem(cfg, ba_every=4, loop_every=2)
+
+    print(f"long drive: {n_total} frames @ {w}x{h}, loop radius "
+          f"{args.radius} m, kf_every={args.keyframe_every}", flush=True)
+    t0 = time.perf_counter()
+    lost = 0
+    ck = args.render_chunk
+    for base in range(0, n_total, ck):
+        hi = min(base + ck, n_total)
+        lg, rgs, _ = synthetic.render_stereo_trajectory(
+            gt[base:hi], rig, scene)
+        lg = np.asarray(lg)
+        rgs = np.asarray(rgs)
+        for i in range(hi - base):
+            t = base + i
+            # photometric nuisance: slow exposure ramp (exercises the gain
+            # loop) + sensor noise
+            g = 1.0 + args.gain_amp * np.sin(2 * np.pi * t / 150.0)
+            nl = rng.normal(0, args.photo_noise, lg[i].shape)
+            nr = rng.normal(0, args.photo_noise, rgs[i].shape)
+            left = np.clip(lg[i] * g + nl, 0, 255).astype(np.float32)
+            right = np.clip(rgs[i] * g + nr, 0, 255).astype(np.float32)
+            out = system.process_frame(jnp.asarray(left), jnp.asarray(right))
+            if not out["tracking_ok"]:
+                lost += 1
+        if (base // ck) % 4 == 0:
+            el = time.perf_counter() - t0
+            print(f"  frame {hi}/{n_total}  {hi/el:5.1f} fps  "
+                  f"loops={system.num_loops} corr={system.num_corrections} "
+                  f"culled={system.num_culled} "
+                  f"mem={system.memory_bytes()/1e6:.0f}MB", flush=True)
+    system.finish()
+    wall = time.perf_counter() - t0
+    fps = n_total / wall
+
+    # ---- trajectory metrics --------------------------------------------
+    est = [T for _, T in system.trajectory()]
+    gtl = [gt[i] for i in range(len(est))]
+    ate = traj_metrics.ate_rmse(est, gtl)
+    rpe_d = traj_metrics.rpe(est, gtl)
+    kitti = traj_metrics.kitti_sequence_errors(est, gtl)
+    end_err = float(np.linalg.norm(est[-1][:3, 3] - gtl[-1][:3, 3]))
+
+    # ---- raycast-depth metrics vs GT at sampled fused frames ------------
+    slam = system.slam
+    dm_acc = []
+    eval_ids = list(range(0, n_total,
+                          args.depth_eval_every * args.keyframe_every))
+    for fid in eval_ids:
+        T = jnp.asarray(gt[fid])
+        rc = slam.raycast_view(T)          # render from the GT pose
+        _, gt_d = synthetic.render_view(T, intr, scene)
+        pred = np.asarray(rc.depth)
+        gtd = np.array(gt_d)
+        gtd[gtd > cfg.tsdf.max_depth_m] = 0.0
+        dm_acc.append(depth_metrics.depth_metrics(
+            pred, gtd, min_depth=0.5, max_depth=cfg.tsdf.max_depth_m))
+    dm = {k: float(np.nanmean([d[k] for d in dm_acc]))
+          for k in dm_acc[0]} if dm_acc else {}
+
+    rec = dict(
+        frames=n_total, width=w, height=h, radius_m=args.radius,
+        photo_noise=args.photo_noise, gain_amp=args.gain_amp,
+        keyframe_every=args.keyframe_every,
+        backend=jax.default_backend(),
+        fps=round(fps, 2), wall_s=round(wall, 1),
+        tracking_lost_frames=lost,
+        loops=system.num_loops, corrections=system.num_corrections,
+        culled=system.num_culled, relocs=system.num_relocs,
+        keyframes=system.backend.num_keyframes,
+        final_map_mb=round(system.memory_bytes() / 1e6, 1),
+        ate_rmse_m=round(ate, 4), end_error_m=round(end_err, 4),
+        **{k: round(v, 5) for k, v in rpe_d.items()},
+        **{("kitti_" + k): round(v, 5) for k, v in kitti.items()},
+        depth=({k: round(v, 4) for k, v in dm.items()} if dm else None),
+    )
+    print(json.dumps(rec))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rec, f, indent=1)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(f"\n## Long-drive validation "
+                    f"({time.strftime('%Y-%m-%d')}, "
+                    f"{jax.default_backend()})\n\n")
+            f.write("```json\n" + json.dumps(rec, indent=1) + "\n```\n")
+
+
+if __name__ == "__main__":
+    main()

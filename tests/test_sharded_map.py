@@ -163,18 +163,6 @@ def test_sharded_pipeline_end_to_end(setup):
     assert np.median(err) < 0.08
 
 
-def test_sharded_pipeline_rejects_correction(setup):
-    import dataclasses as dc
-    import pytest as pt
-    from denseslam_tpu.config import OnlineCorrectionParams
-    from denseslam_tpu.models.dense_slam import DenseSLAM
-
-    cfg, mesh, _ = setup
-    cfg2 = dc.replace(cfg, correction=OnlineCorrectionParams(enabled=True))
-    with pt.raises(NotImplementedError):
-        DenseSLAM(cfg2, mesh=mesh)
-
-
 def test_launch_single_process_noop():
     from denseslam_tpu.parallel import launch
     assert launch.init_distributed() == 0

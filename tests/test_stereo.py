@@ -103,6 +103,35 @@ def test_sgm_fused_pallas_matches_xla():
             np.asarray(val_ref), np.asarray(val_f), err_msg=f"{h}x{w}x{d}")
 
 
+def test_sgm_fused_pallas_bf16_matches_xla_tail(pair):
+    """bf16 cost volume through the fused kernel — the only config where
+    the f32-upcast tail, f32 rolling-min scratch and f32 BIG constants
+    actually change behaviour (on f32 volumes the upcasts are no-ops),
+    and the config bench_full runs. Under bf16 the two paths associate
+    the direction sum differently, so on RANDOM volumes near-tie WTA
+    winners flip pervasively (aggregates ~1e3 quantise to steps of 4-8);
+    on a real cost volume minima are pronounced, so the comparison that
+    matters is depth agreement + equal GT quality, not bit parity."""
+    cfg, left, right, depth_gt = pair
+    bf_xla = dataclasses.replace(cfg.stereo, cost_dtype="bfloat16",
+                                 sgm_backend="xla")
+    bf_fused = dataclasses.replace(cfg.stereo, cost_dtype="bfloat16",
+                                   sgm_backend="pallas_fused")
+    d_x, v_x = stereo.compute_depth(left, right, cfg.rig, bf_xla)
+    d_f, v_f = stereo.compute_depth(left, right, cfg.rig, bf_fused)
+    # same GT quality
+    cov_x, med_x, frac_x = _eval(d_x, v_x, depth_gt, cfg)
+    cov_f, med_f, frac_f = _eval(d_f, v_f, depth_gt, cfg)
+    assert cov_f > cov_x - 0.02, (cov_f, cov_x)
+    assert med_f < med_x * 1.2 + 1e-3, (med_f, med_x)
+    assert frac_f > frac_x - 0.02, (frac_f, frac_x)
+    # pixelwise: the overwhelming majority agree to within a disparity
+    both = np.asarray(v_x) & np.asarray(v_f)
+    assert both.mean() > 0.4
+    dd = np.abs(np.asarray(d_x)[both] - np.asarray(d_f)[both])
+    assert (dd < 0.1).mean() > 0.9, (dd < 0.1).mean()
+
+
 def test_sgm_fused_backend_end_to_end(pair):
     """compute_depth(sgm_backend="pallas_fused") reaches the same depth
     quality as the XLA backend on the synthetic stereo pair."""

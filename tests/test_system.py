@@ -102,7 +102,10 @@ def test_system_chunked_throughput_mode():
         outs.append(sys_.process_chunk(lefts[i:i+chunk], rights[i:i+chunk]))
     assert all(o["fused"] for o in outs)
     assert outs[-1]["tracking_ok"]
-    assert sys_.backend.num_keyframes == n // chunk
+    assert outs[-1]["tracking_ok_frames"].shape == (chunk,)
+    # EVERY fused frame registers as a backend keyframe (keyframe_every=1
+    # here), not just the chunk tails — loop closure/BA see all of them
+    assert sys_.backend.num_keyframes == n
     assert len(sys_.trajectory()) == n
     # recovered motion sane
     import numpy as np
