@@ -20,10 +20,81 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_matrix_cpu(frames: int, out_json: str) -> None:
+    """Localhost scaling matrix on virtual CPU devices (no TPU pod needed).
+
+    Runs three configurations of THIS script as subprocesses and records
+    fused-frames/s/chip for each, plus two efficiency ratios:
+
+      * ``eff_fixed_total`` — 2 procs x 4 dev vs 1 proc x 8 dev (constant
+        total devices): isolates the cost of the `jax.distributed` runtime
+        + Gloo collectives relative to a single-process mesh.
+      * ``eff_weak`` — 2 procs x 4 dev vs 1 proc x 4 dev: the BASELINE.md
+        "fps/chip at N hosts / fps/chip at 1 host" methodology. On virtual
+        CPU devices every "chip" shares the same physical cores, so this
+        ratio is a LOWER BOUND only; re-run on real multi-host TPU for the
+        >=0.7 target.
+    """
+    me = os.path.abspath(__file__)
+
+    def one(env_devices: int, extra: list, log: str) -> dict:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={env_devices}"
+        ).strip()
+        cmd = [sys.executable, me, "--cpu", f"--frames={frames}"] + extra
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=900)
+        with open(log, "w") as f:
+            f.write(out.stdout + out.stderr)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    def two_proc() -> dict:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=4").strip()
+        base = [sys.executable, me, "--cpu", f"--frames={frames}",
+                "--coordinator=localhost:8476", "--num-processes=2"]
+        p1 = subprocess.Popen(base + ["--process-id=1"], env=env,
+                              stdout=subprocess.DEVNULL,
+                              stderr=subprocess.DEVNULL)
+        out = subprocess.run(base + ["--process-id=0"], env=env,
+                             capture_output=True, text=True, timeout=900)
+        p1.wait(timeout=60)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    r1x4 = one(4, [], "/tmp/scale_1x4.log")
+    r1x8 = one(8, [], "/tmp/scale_1x8.log")
+    r2x4 = two_proc()
+    rec = {
+        "metric": "cpu_mesh_scaling_matrix",
+        "frames": frames,
+        "fps_per_chip_1proc_4dev": r1x4["value"],
+        "fps_per_chip_1proc_8dev": r1x8["value"],
+        "fps_per_chip_2proc_4dev": r2x4["value"],
+        "blocks_agree": (r1x4["blocks"] == r1x8["blocks"] ==
+                         r2x4["blocks"]),
+        "eff_fixed_total": round(r2x4["value"] / r1x8["value"], 3),
+        "eff_weak": round(r2x4["value"] / r1x4["value"], 3),
+        "note": "virtual CPU devices share physical cores; eff_weak is a "
+                "lower bound — re-run per-host on real TPU hosts for the "
+                "BASELINE.md >=0.7 target",
+    }
+    print(json.dumps(rec))
+    with open(out_json, "w") as f:
+        json.dump(rec, f, indent=1)
+
 
 import jax
 
@@ -39,7 +110,15 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU platform (test mode)")
+    ap.add_argument("--matrix-cpu", action="store_true",
+                    help="run the localhost 1x4 / 1x8 / 2x4 matrix and "
+                         "write --json")
+    ap.add_argument("--json", default="SCALING.json")
     args = ap.parse_args()
+
+    if args.matrix_cpu:
+        run_matrix_cpu(args.frames, args.json)
+        return
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
