@@ -10,9 +10,17 @@ ThreadingHTTPServer serves them, and a small HTML page polls:
   /        dashboard (panes + top-down trajectory + memory/FPS charts)
   /pane/X  latest PNG for pane X (rgb, depth, raycast, raycast_depth, ...)
   /state   JSON telemetry (frame, fps, blocks, memory history, trajectory)
+  /freeview/nav   orbit/pan/zoom the free camera (DSHandler3D equivalent)
+  /record         start/stop recording a pane to an .avi on disk
 
 Everything is push-based from the pipeline loop (`--live_viewer PORT` in
-main.py); the server thread never touches JAX state.
+main.py); the server thread never touches JAX state. The free camera works
+the same way: nav requests only mutate host-side orbit state, and the
+pipeline loop polls `freeview_pose()` once per frame — it renders (one
+splat dispatch) only when the camera actually moved, so an idle freeview
+pane costs the TPU nothing. This replaces the reference's mouse-driven
+Pangolin free-cam (src/DenseSLAM/DSHandler3D.h:11-88) and its GUI video
+record path (DenseSLAMGUI.cpp:298-308).
 """
 
 from __future__ import annotations
@@ -72,10 +80,58 @@ def draw_features(img: np.ndarray, uv: np.ndarray,
     return out
 
 
+class _OrbitCam:
+    """Host-side orbit-camera state (azimuth/elevation/radius around a
+    target) — the DSHandler3D eye/center model. World convention is the
+    KITTI camera frame (x right, y DOWN, z forward), so elevation raises
+    the eye along -y and the camera's y axis tracks world-down."""
+
+    def __init__(self):
+        self.az = 0.0
+        self.el = 0.35
+        self.radius = 10.0
+        self.target = np.zeros(3)
+        self.follow = True        # target tracks the live camera pose
+        self.dirty = False
+
+    def nav(self, daz=0.0, delv=0.0, scale=1.0, dpx=0.0, dpy=0.0,
+            follow=None, reset=False) -> None:
+        if reset:
+            self.__init__()
+            self.dirty = True
+            return
+        self.az += daz
+        self.el = float(np.clip(self.el + delv, -1.45, 1.45))
+        self.radius = float(np.clip(self.radius * scale, 0.5, 500.0))
+        if dpx or dpy:                      # pan in the view plane
+            T = self.pose()
+            self.target = self.target + T[:3, 0] * (dpx * self.radius) \
+                + T[:3, 1] * (dpy * self.radius)
+            self.follow = False
+        if follow is not None:
+            self.follow = bool(follow)
+        self.dirty = True
+
+    def pose(self) -> np.ndarray:
+        """4x4 T_wc of the orbit camera (x right, y down, z forward)."""
+        ca, sa = np.cos(self.az), np.sin(self.az)
+        ce, se = np.cos(self.el), np.sin(self.el)
+        fwd = np.array([ce * sa, -se, ce * ca])      # eye -> target
+        eye = self.target - self.radius * fwd
+        down = np.array([0.0, 1.0, 0.0])
+        x = np.cross(down, fwd)
+        x /= max(np.linalg.norm(x), 1e-9)
+        y = np.cross(fwd, x)
+        T = np.eye(4)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x, y, fwd, eye
+        return T
+
+
 class LiveViewer:
     """Thread-safe pane/stat store + HTTP server (daemon thread)."""
 
-    def __init__(self, port: int = 8080, host: str = "127.0.0.1"):
+    def __init__(self, port: int = 8080, host: str = "127.0.0.1",
+                 record_dir: str = "."):
         self._lock = threading.Lock()
         self._panes: Dict[str, bytes] = {}
         self._stats: Dict[str, object] = {}
@@ -84,6 +140,11 @@ class LiveViewer:
         self._fps: list = []
         self._frames: list = []
         self._t0 = time.time()
+        self._cam = _OrbitCam()
+        self._record_dir = record_dir
+        self._rec = None          # (pane, cv2.VideoWriter, path, (w,h))
+        self._rec_frames = 0
+        self._last_poll = 0.0     # last /state request (client watching?)
 
         viewer = self
 
@@ -100,13 +161,36 @@ class LiveViewer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                path = self.path.split("?")[0]
+                from urllib.parse import parse_qs, urlsplit
+
+                parts = urlsplit(self.path)
+                path = parts.path
+                q = {k: v[-1] for k, v in parse_qs(parts.query).items()}
                 if path == "/":
                     self._send(200, "text/html; charset=utf-8",
                                _DASHBOARD_HTML.encode())
                 elif path == "/state":
+                    viewer._last_poll = time.time()
                     self._send(200, "application/json",
                                viewer._state_json().encode())
+                elif path == "/freeview/nav":
+                    with viewer._lock:
+                        viewer._cam.nav(
+                            daz=float(q.get("daz", 0)),
+                            delv=float(q.get("del", 0)),
+                            scale=float(q.get("scale", 1)),
+                            dpx=float(q.get("dpx", 0)),
+                            dpy=float(q.get("dpy", 0)),
+                            follow=(None if "follow" not in q
+                                    else q["follow"] == "1"),
+                            reset=q.get("reset") == "1",
+                        )
+                    self._send(200, "application/json", b"{}")
+                elif path == "/record":
+                    msg = viewer._record_ctl(q.get("action", ""),
+                                             q.get("pane", "freeview"))
+                    self._send(200, "application/json",
+                               json.dumps(msg).encode())
                 elif path.startswith("/pane/"):
                     name = path[len("/pane/"):]
                     with viewer._lock:
@@ -149,10 +233,79 @@ class LiveViewer:
                                    float(p[2, 3])])
                 if len(self._traj) > _MAX_HIST:
                     del self._traj[0]
+                if self._cam.follow:
+                    moved = np.linalg.norm(self._cam.target - p[:3, 3])
+                    self._cam.target = p[:3, 3].copy()
+                    if moved > 0.05:
+                        self._cam.dirty = True
+        if panes and self._rec is not None:
+            self._record_frames(panes)
+
+    def freeview_pose(self) -> Optional[np.ndarray]:
+        """Poll from the pipeline loop: 4x4 T_wc of the free camera if it
+        moved since the last poll, else None (skip the render). Renders are
+        additionally gated on a dashboard client having fetched /state
+        within 5 s (or an active recording) — a headless run in follow mode
+        must not pay a composite render per frame for a pane nobody sees."""
+        with self._lock:
+            watching = (time.time() - self._last_poll < 5.0
+                        or self._rec is not None)
+            if not (self._cam.dirty and watching):
+                return None
+            self._cam.dirty = False
+            return self._cam.pose()
 
     def close(self) -> None:
+        with self._lock:
+            self._rec_close()
         self._server.shutdown()
         self._server.server_close()
+
+    # -- recording (GUI video-record equivalent) -------------------------------
+
+    def _record_ctl(self, action: str, pane: str) -> Dict[str, object]:
+        import os
+
+        with self._lock:
+            if action == "start":
+                self._rec_close()
+                path = os.path.join(
+                    self._record_dir,
+                    f"record_{pane}_{time.strftime('%H%M%S')}.avi")
+                # writer is created lazily on the first frame (size unknown)
+                self._rec = [pane, None, path, None]
+                self._rec_frames = 0
+            elif action == "stop":
+                self._rec_close()
+            return dict(
+                recording=(self._rec[0] if self._rec else None),
+                path=(self._rec[2] if self._rec else None),
+                frames=self._rec_frames,
+            )
+
+    def _rec_close(self) -> None:
+        if self._rec is not None and self._rec[1] is not None:
+            self._rec[1].release()
+        self._rec = None
+
+    def _record_frames(self, panes: Dict[str, np.ndarray]) -> None:
+        import cv2
+
+        with self._lock:
+            if self._rec is None or self._rec[0] not in panes:
+                return
+            img = np.asarray(panes[self._rec[0]])
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            hw = (img.shape[1], img.shape[0])
+            if self._rec[1] is None:
+                self._rec[1] = cv2.VideoWriter(
+                    self._rec[2], cv2.VideoWriter_fourcc(*"MJPG"), 10.0, hw)
+                self._rec[3] = hw
+            if hw == self._rec[3]:
+                self._rec[1].write(img)
+                self._rec_frames += 1
 
     # -- server-side ----------------------------------------------------------
 
@@ -166,6 +319,11 @@ class LiveViewer:
                 fps=self._fps,
                 trajectory=self._traj,
                 uptime_s=time.time() - self._t0,
+                freeview=dict(az=self._cam.az, el=self._cam.el,
+                              radius=self._cam.radius,
+                              follow=self._cam.follow),
+                recording=(self._rec[0] if self._rec else None),
+                recorded_frames=self._rec_frames,
             ))
 
 
@@ -201,6 +359,20 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
 <div class="sub">headless dashboard (Pangolin-GUI equivalent); polls 2 Hz</div>
 <div class="stats" id="tiles"></div>
 <div class="row" id="panes"></div>
+<div class="row" style="margin-top:12px">
+  <div class="card"><h2>freeview — drag orbit · shift-drag pan · wheel zoom</h2>
+    <img class="pane" id="fv" src="/pane/freeview"
+         style="min-width:360px;min-height:120px;cursor:grab"
+         draggable="false"
+         onerror="this.style.opacity=.15">
+    <div style="margin-top:6px;display:flex;gap:8px">
+      <button id="fv-follow">follow</button>
+      <button onclick="nav({reset:1})">reset</button>
+      <button id="fv-rec">record</button>
+      <span id="fv-info" style="color:var(--ink2)"></span>
+    </div>
+  </div>
+</div>
 <div class="row" style="margin-top:12px">
   <div class="card"><h2>trajectory (top-down, x–z)</h2>
     <canvas id="traj" width="360" height="360"></canvas></div>
@@ -248,6 +420,32 @@ function drawSeries(id, xs, ys, color, hover) {
     g.fillText(`f${xs[best]}: ${fmt(ys[best],2)}`, Math.min(hx+6, W-70), Math.max(hy-6, 10));
   }
 }
+function nav(p) {
+  const qs = Object.entries(p).map(([k,v]) => `${k}=${v}`).join("&");
+  fetch(`/freeview/nav?${qs}`);
+}
+let fvState = {follow: true}, recState = null;
+{
+  const fv = document.getElementById("fv");
+  let drag = null;
+  fv.addEventListener("mousedown", e => { drag = [e.clientX, e.clientY, e.shiftKey]; e.preventDefault(); });
+  window.addEventListener("mouseup", () => { drag = null; });
+  window.addEventListener("mousemove", e => {
+    if (!drag) return;
+    const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+    drag = [e.clientX, e.clientY, drag[2]];
+    if (drag[2]) nav({dpx: -dx*0.002, dpy: -dy*0.002});
+    else nav({daz: dx*0.008, del: dy*0.008});
+  });
+  fv.addEventListener("wheel", e => {
+    nav({scale: e.deltaY > 0 ? 1.12 : 0.89}); e.preventDefault();
+  }, {passive: false});
+  document.getElementById("fv-follow").onclick =
+    () => nav({follow: fvState.follow ? 0 : 1});
+  document.getElementById("fv-rec").onclick = () => {
+    fetch(`/record?action=${recState ? "stop" : "start"}&pane=freeview`);
+  };
+}
 const hovers = {};
 ["mem","fps"].forEach(id => {
   const c = document.getElementById(id);
@@ -285,14 +483,29 @@ async function tick() {
       tile("keyframes", s.keyframes ?? "–");
     if (JSON.stringify(st.panes) !== JSON.stringify(paneNames)) {
       paneNames = st.panes;
-      document.getElementById("panes").innerHTML = paneNames.map(n =>
+      document.getElementById("panes").innerHTML = paneNames
+        .filter(n => n !== "freeview").map(n =>
         `<div class="card"><h2>${n}</h2>
          <img class="pane" id="pane-${n}" src="/pane/${n}"></div>`).join("");
     }
     const t = Date.now();
     paneNames.forEach(n => {
-      document.getElementById(`pane-${n}`).src = `/pane/${n}?t=${t}`;
+      const el = document.getElementById(`pane-${n}`);
+      if (el) el.src = `/pane/${n}?t=${t}`;
     });
+    if (paneNames.includes("freeview")) {
+      const fv = document.getElementById("fv");
+      fv.style.opacity = 1; fv.src = `/pane/freeview?t=${t}`;
+    }
+    fvState = st.freeview || fvState;
+    recState = st.recording;
+    document.getElementById("fv-follow").style.outline =
+      fvState.follow ? "2px solid #199e70" : "none";
+    document.getElementById("fv-rec").style.outline =
+      recState ? "2px solid #e5483d" : "none";
+    document.getElementById("fv-info").textContent =
+      `r=${fmt(fvState.radius)}m` +
+      (recState ? ` · REC ${st.recorded_frames}f` : "");
     drawSeries("mem", st.frames, st.memory_mb, "#3987e5", hovers.mem);
     drawSeries("fps", st.frames, st.fps, "#199e70", hovers.fps);
     drawTraj(st.trajectory);

@@ -233,12 +233,19 @@ def main(argv=None) -> int:
                 from .io.viewer import colorize_depth
                 from .ops import raycast as rc_ops
                 rc = slam.raycast_view()
+                panes = dict(
+                    raycast=np.asarray(
+                        rc_ops.render_preview(rc, rc_ops.PREVIEW_GRAY)),
+                    raycast_depth=colorize_depth(
+                        np.asarray(rc.depth), cfg.tsdf.max_depth_m))
+                fv_T = viewer.freeview_pose()
+                if fv_T is not None:
+                    fv = slam.raycast_composite(
+                        jnp.asarray(fv_T, jnp.float32))
+                    panes["freeview"] = np.asarray(
+                        rc_ops.render_preview(fv, rc_ops.PREVIEW_GRAY))
                 viewer.update(
-                    panes=dict(
-                        raycast=np.asarray(
-                            rc_ops.render_preview(rc, rc_ops.PREVIEW_GRAY)),
-                        raycast_depth=colorize_depth(
-                            np.asarray(rc.depth), cfg.tsdf.max_depth_m)),
+                    panes=panes,
                     stats=dict(frame=n,
                                fps=n / max(time.time() - t_start, 1e-6),
                                blocks=slam.submaps.local_map_size(
@@ -318,6 +325,16 @@ def main(argv=None) -> int:
                     rc_ops.render_preview(rc, rc_ops.PREVIEW_GRAY))
                 panes["raycast_depth"] = colorize_depth(
                     np.asarray(rc.depth), cfg.tsdf.max_depth_m)
+            fv_T = viewer.freeview_pose()
+            if fv_T is not None:
+                # free camera moved: render the multi-submap composite from
+                # it (DSHandler3D free-cam role). One splat dispatch per
+                # submap, only on movement.
+                from .ops import raycast as rc_ops
+                import jax.numpy as jnp
+                fv = slam.raycast_composite(jnp.asarray(fv_T, jnp.float32))
+                panes["freeview"] = np.asarray(
+                    rc_ops.render_preview(fv, rc_ops.PREVIEW_GRAY))
             viewer.update(
                 panes=panes,
                 stats=dict(
