@@ -210,8 +210,14 @@ class SplatParams:
     ~8 m) the |tsdf|<0.3 band thins below one splat per 8 px and the
     renderer lost 15% coverage with 0.55 m p95 error vs the exact
     raycaster; widening the band restores full coverage and p95 ~3 voxels
-    (measured in tests/test_splat_tails.py)."""
-    max_blocks: int = 2048
+    (measured in tests/test_splat_tails.py).
+
+    max_blocks=4096 (was 2048): a full-res KITTI street frustum holds
+    ~4.9k allocated blocks; at 2048 the visible-set sort silently drops an
+    arbitrary subset (measured: coverage 0.37 -> 0.48, MAE 0.55 -> 0.36 m
+    on a 48-frame full-res street map) and the packed-key z-buffer made
+    4096 cost only +1.3 ms (19.6 vs 18.3 ms/frame on TPU v5e)."""
+    max_blocks: int = 4096
     max_voxels: int = 1 << 19
     surface_eta: float = 0.8
     z_bits: int = 12

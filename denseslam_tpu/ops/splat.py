@@ -172,24 +172,42 @@ def splat_render(
         & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
     )
     pix = jnp.where(ok, vi * w + ui, n_pix)          # dummy pixel when masked
-    zscale = (1 << sc.z_bits) / cfg.max_depth_m
+    # ONE scatter-min resolves occlusion AND elects the winner: the key
+    # packs quantized depth in the high bits and the compact voxel index in
+    # the low bits (identity-through-the-key), so the per-pixel min is the
+    # nearest voxel, ties broken by lowest index CONSISTENTLY for depth and
+    # color. This replaces the previous scatter-min + won-recovery gather +
+    # two attribute scatters (4 element-granular passes -> 1 scatter + 2
+    # coherent gathers over the compact arrays), and the recovered depth is
+    # the winner's exact f32 zsurf, not its quantized bucket.
+    n_vox = int(zsurf.shape[0])            # per-shard count under shard_map
+    cvox_bits = max(1, int(n_vox - 1).bit_length())
+    # z_bits shrinks if the voxel index needs more room (the recovered
+    # depth is the winner's exact f32 zsurf either way — z quantisation
+    # only decides occlusion ties between voxels < 1 bucket apart)
+    z_bits = min(sc.z_bits, 31 - cvox_bits)
+    if z_bits < 8:
+        raise ValueError(
+            f"max_voxels {n_vox} leaves z_bits={z_bits} < 8 in the packed "
+            "int32 z-buffer key; lower max_voxels")
+    zscale = (1 << z_bits) / cfg.max_depth_m
+    # clip to max-2 so every valid key stays strictly below the _I32_MAX
+    # miss sentinel even at the largest voxel index
     zq = jnp.clip((zsurf * zscale).astype(jnp.int32), 0,
-                  (1 << sc.z_bits) - 1)
-    zq = jnp.where(ok, zq, _I32_MAX)
+                  (1 << z_bits) - 2)
+    vidx = jax.lax.iota(jnp.int32, n_vox)
+    key = jnp.where(ok, (zq << cvox_bits) | vidx, _I32_MAX)
     zbuf = jnp.full((n_pix + 1,), _I32_MAX, dtype=jnp.int32)
-    zbuf = zbuf.at[pix].min(zq, mode="promise_in_bounds")
+    zbuf = zbuf.at[pix].min(key, mode="promise_in_bounds")
 
-    # ---- 6. winner recovery + attribute scatters ----------------------------
-    won = ok & (zbuf[pix] == zq)
-    widx = jnp.where(won, pix, n_pix)
-    dbuf = jnp.zeros((n_pix + 1,), jnp.float32)
-    dbuf = dbuf.at[widx].max(jnp.where(won, zsurf, 0.0),
-                             mode="promise_in_bounds")
-    cbuf = jnp.zeros((n_pix + 1,), jnp.int32)
-    cbuf = cbuf.at[widx].max(jnp.where(won, col, 0),
-                             mode="promise_in_bounds")
+    # ---- 6. winner recovery: coherent gathers by the elected voxel index ----
+    win = zbuf[:n_pix]
+    won = win != _I32_MAX
+    wv = jnp.where(won, win & ((1 << cvox_bits) - 1), 0)
+    dflat = jnp.where(won, zsurf[wv], 0.0)
+    cflat = jnp.where(won, col[wv], 0)
 
-    depth = dbuf[:n_pix].reshape(h, w)
+    depth = dflat.reshape(h, w)
     depth = _fill_holes(depth, sc.fill_levels)
     hit = depth > 0
 
@@ -209,7 +227,7 @@ def splat_render(
     pzw = jnp.where(hit, pzw, z0)
     nx, ny, nz, n_ok = rc_ops._normals_soA(pxw, pyw, pzw, hit)
 
-    cr, cg, cb = tsdf_ops.unpack_rgb(cbuf[:n_pix].reshape(h, w))
+    cr, cg, cb = tsdf_ops.unpack_rgb(cflat.reshape(h, w))
     cr = jnp.where(hit, cr, 0.0)
     cg = jnp.where(hit, cg, 0.0)
     cb = jnp.where(hit, cb, 0.0)

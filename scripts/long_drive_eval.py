@@ -112,8 +112,14 @@ def main() -> None:
     print(f"long drive: {n_total} frames @ {w}x{h}, loop radius "
           f"{args.radius} m, kf_every={args.keyframe_every}", flush=True)
     t0 = time.perf_counter()
+    t_steady = None          # set after the warmup frames (compile stall)
+    steady_from = 24
+    proc_s = 0.0             # pipeline-only time (excludes synthetic
+    proc_frames = 0          # data generation + noise injection + eval)
     lost = 0
+    dm_acc = []
     ck = args.render_chunk
+    kf_seen = 0
     for base in range(0, n_total, ck):
         hi = min(base + ck, n_total)
         lg, rgs, _ = synthetic.render_stereo_trajectory(
@@ -129,9 +135,31 @@ def main() -> None:
             nr = rng.normal(0, args.photo_noise, rgs[i].shape)
             left = np.clip(lg[i] * g + nl, 0, 255).astype(np.float32)
             right = np.clip(rgs[i] * g + nr, 0, 255).astype(np.float32)
+            tp = time.perf_counter()
             out = system.process_frame(jnp.asarray(left), jnp.asarray(right))
-            if not out["tracking_ok"]:
+            ok = bool(out["tracking_ok"])   # host readback = sync barrier
+            if t > steady_from:
+                proc_s += time.perf_counter() - tp
+                proc_frames += 1
+            if not ok:
                 lost += 1
+            if t == steady_from:
+                t_steady = time.perf_counter()
+            # ---- raycast-depth eval, DURING the run (reference renders at
+            # the tracked pose while the sequence plays; rendering later is
+            # meaningless under slide-window eviction). GT pose isolates
+            # map quality from the pose drift that ATE already measures.
+            if t % args.keyframe_every == 0:
+                if kf_seen % args.depth_eval_every == 0:
+                    T = jnp.asarray(gt[t])
+                    rc = system.slam.raycast_view(T)
+                    _, gt_d = synthetic.render_view(T, intr, scene)
+                    gtd = np.array(gt_d)
+                    gtd[gtd > cfg.tsdf.max_depth_m] = 0.0
+                    dm_acc.append(depth_metrics.depth_metrics(
+                        np.asarray(rc.depth), gtd, min_depth=0.5,
+                        max_depth=cfg.tsdf.max_depth_m))
+                kf_seen += 1
         if (base // ck) % 4 == 0:
             el = time.perf_counter() - t0
             print(f"  frame {hi}/{n_total}  {hi/el:5.1f} fps  "
@@ -141,6 +169,9 @@ def main() -> None:
     system.finish()
     wall = time.perf_counter() - t0
     fps = n_total / wall
+    fps_steady = ((n_total - steady_from - 1)
+                  / max(time.perf_counter() - t_steady, 1e-9)
+                  if t_steady is not None else fps)
 
     # ---- trajectory metrics --------------------------------------------
     est = [T for _, T in system.trajectory()]
@@ -150,20 +181,6 @@ def main() -> None:
     kitti = traj_metrics.kitti_sequence_errors(est, gtl)
     end_err = float(np.linalg.norm(est[-1][:3, 3] - gtl[-1][:3, 3]))
 
-    # ---- raycast-depth metrics vs GT at sampled fused frames ------------
-    slam = system.slam
-    dm_acc = []
-    eval_ids = list(range(0, n_total,
-                          args.depth_eval_every * args.keyframe_every))
-    for fid in eval_ids:
-        T = jnp.asarray(gt[fid])
-        rc = slam.raycast_view(T)          # render from the GT pose
-        _, gt_d = synthetic.render_view(T, intr, scene)
-        pred = np.asarray(rc.depth)
-        gtd = np.array(gt_d)
-        gtd[gtd > cfg.tsdf.max_depth_m] = 0.0
-        dm_acc.append(depth_metrics.depth_metrics(
-            pred, gtd, min_depth=0.5, max_depth=cfg.tsdf.max_depth_m))
     dm = {k: float(np.nanmean([d[k] for d in dm_acc]))
           for k in dm_acc[0]} if dm_acc else {}
 
@@ -172,7 +189,9 @@ def main() -> None:
         photo_noise=args.photo_noise, gain_amp=args.gain_amp,
         keyframe_every=args.keyframe_every,
         backend=jax.default_backend(),
-        fps=round(fps, 2), wall_s=round(wall, 1),
+        fps=round(fps, 2), fps_steady=round(fps_steady, 2),
+        fps_pipeline=round(proc_frames / max(proc_s, 1e-9), 2),
+        wall_s=round(wall, 1),
         tracking_lost_frames=lost,
         loops=system.num_loops, corrections=system.num_corrections,
         culled=system.num_culled, relocs=system.num_relocs,
