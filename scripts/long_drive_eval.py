@@ -50,6 +50,12 @@ def main() -> None:
     ap.add_argument("--depth-eval-every", type=int, default=25,
                     help="evaluate raycast depth at every Nth fused frame")
     ap.add_argument("--render-chunk", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="frames per process_chunk batch (the production "
+                    "throughput path: one lax.scan device program per "
+                    "batch; 0 = per-frame host loop, which pays ~27 ms "
+                    "tunnel RTT per scalar readback and is only needed "
+                    "when exercising relocalization)")
     ap.add_argument("--out", default=None, help="append RESULTS block here")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
@@ -109,57 +115,107 @@ def main() -> None:
 
     system = SLAMSystem(cfg, ba_every=4, loop_every=2)
 
+    # device-side photometric nuisance: slow exposure ramp (exercises the
+    # gain loop) + sensor noise — computed ON DEVICE so frames never cross
+    # the host tunnel (a 1226x370 f32 stereo chunk is ~58 MB; pulling it
+    # to numpy and back was most of the round-1 wall time)
+    @jax.jit
+    def _nuisance(lg, rg, t0_idx, key):
+        tt = t0_idx + jnp.arange(lg.shape[0], dtype=jnp.float32)
+        g = 1.0 + args.gain_amp * jnp.sin(2 * jnp.pi * tt / 150.0)
+        kl, kr = jax.random.split(key)
+        nl = args.photo_noise * jax.random.normal(kl, lg.shape, jnp.float32)
+        nr = args.photo_noise * jax.random.normal(kr, rg.shape, jnp.float32)
+        g = g[:, None, None]
+        return (jnp.clip(lg * g + nl, 0, 255),
+                jnp.clip(rg * g + nr, 0, 255))
+
+    use_chunk = args.chunk > 0
+    ck = args.chunk if use_chunk else args.render_chunk
     print(f"long drive: {n_total} frames @ {w}x{h}, loop radius "
-          f"{args.radius} m, kf_every={args.keyframe_every}", flush=True)
+          f"{args.radius} m, kf_every={args.keyframe_every}, "
+          f"{'chunk=%d' % ck if use_chunk else 'per-frame'}", flush=True)
     t0 = time.perf_counter()
     t_steady = None          # set after the warmup frames (compile stall)
-    steady_from = 24
+    steady_from = 2 * ck     # first 2 chunks pay compile + the slow
+    steady_frame0 = None     # first post-readback dispatch window
     proc_s = 0.0             # pipeline-only time (excludes synthetic
     proc_frames = 0          # data generation + noise injection + eval)
+    synth_s = 0.0
+    eval_s = 0.0
     lost = 0
     dm_acc = []
-    ck = args.render_chunk
     kf_seen = 0
+    key0 = jax.random.PRNGKey(0)
     for base in range(0, n_total, ck):
         hi = min(base + ck, n_total)
+        ts = time.perf_counter()
         lg, rgs, _ = synthetic.render_stereo_trajectory(
             gt[base:hi], rig, scene)
-        lg = np.asarray(lg)
-        rgs = np.asarray(rgs)
-        for i in range(hi - base):
-            t = base + i
-            # photometric nuisance: slow exposure ramp (exercises the gain
-            # loop) + sensor noise
-            g = 1.0 + args.gain_amp * np.sin(2 * np.pi * t / 150.0)
-            nl = rng.normal(0, args.photo_noise, lg[i].shape)
-            nr = rng.normal(0, args.photo_noise, rgs[i].shape)
-            left = np.clip(lg[i] * g + nl, 0, 255).astype(np.float32)
-            right = np.clip(rgs[i] * g + nr, 0, 255).astype(np.float32)
+        lefts, rights = _nuisance(lg, rgs, jnp.float32(base),
+                                  jax.random.fold_in(key0, base))
+        rights.block_until_ready()
+        synth_s += time.perf_counter() - ts
+
+        eval_frames = []     # (gt_index) to depth-eval after this batch
+        if use_chunk:
             tp = time.perf_counter()
-            out = system.process_frame(jnp.asarray(left), jnp.asarray(right))
-            ok = bool(out["tracking_ok"])   # host readback = sync barrier
-            if t > steady_from:
-                proc_s += time.perf_counter() - tp
-                proc_frames += 1
-            if not ok:
-                lost += 1
-            if t == steady_from:
+            out = system.process_chunk(lefts, rights)
+            okf = np.asarray(out["tracking_ok_frames"])
+            dtp = time.perf_counter() - tp
+            if base >= steady_from:
+                proc_s += dtp
+                proc_frames += hi - base
+            elif hi >= steady_from and t_steady is None:
                 t_steady = time.perf_counter()
-            # ---- raycast-depth eval, DURING the run (reference renders at
-            # the tracked pose while the sequence plays; rendering later is
-            # meaningless under slide-window eviction). GT pose isolates
-            # map quality from the pose drift that ATE already measures.
-            if t % args.keyframe_every == 0:
-                if kf_seen % args.depth_eval_every == 0:
-                    T = jnp.asarray(gt[t])
-                    rc = system.slam.raycast_view(T)
-                    _, gt_d = synthetic.render_view(T, intr, scene)
-                    gtd = np.array(gt_d)
-                    gtd[gtd > cfg.tsdf.max_depth_m] = 0.0
-                    dm_acc.append(depth_metrics.depth_metrics(
-                        np.asarray(rc.depth), gtd, min_depth=0.5,
-                        max_depth=cfg.tsdf.max_depth_m))
-                kf_seen += 1
+                steady_frame0 = hi
+            lost += int((~okf[1:]).sum() if base == 0 else (~okf).sum())
+            for i in range(hi - base):
+                t = base + i
+                if t % args.keyframe_every == 0 and okf[i]:
+                    if kf_seen % args.depth_eval_every == 0:
+                        eval_frames.append(t)
+                    kf_seen += 1
+        else:
+            lefts = np.asarray(lefts)
+            rights = np.asarray(rights)
+            for i in range(hi - base):
+                t = base + i
+                tp = time.perf_counter()
+                out = system.process_frame(jnp.asarray(lefts[i]),
+                                           jnp.asarray(rights[i]))
+                ok = bool(out["tracking_ok"])   # readback = sync barrier
+                if t > steady_from:
+                    proc_s += time.perf_counter() - tp
+                    proc_frames += 1
+                if not ok:
+                    lost += 1
+                if t == steady_from:
+                    t_steady = time.perf_counter()
+                    steady_frame0 = t + 1
+                if t % args.keyframe_every == 0:
+                    if kf_seen % args.depth_eval_every == 0:
+                        eval_frames.append(t)
+                    kf_seen += 1
+
+        # ---- raycast-depth eval, DURING the run (reference renders at
+        # the tracked pose while the sequence plays; rendering later is
+        # meaningless under slide-window eviction). GT pose isolates map
+        # quality from the pose drift that ATE already measures. In chunk
+        # mode the map also holds the batch's few later keyframes — a
+        # slightly newer map, same quality question.
+        te = time.perf_counter()
+        for t in eval_frames:
+            T = jnp.asarray(gt[t])
+            rc = system.slam.raycast_view(T)
+            _, gt_d = synthetic.render_view(T, intr, scene)
+            gtd = np.array(gt_d)
+            gtd[gtd > cfg.tsdf.max_depth_m] = 0.0
+            dm_acc.append(depth_metrics.depth_metrics(
+                np.asarray(rc.depth), gtd, min_depth=0.5,
+                max_depth=cfg.tsdf.max_depth_m))
+        eval_s += time.perf_counter() - te
+
         if (base // ck) % 4 == 0:
             el = time.perf_counter() - t0
             print(f"  frame {hi}/{n_total}  {hi/el:5.1f} fps  "
@@ -169,7 +225,7 @@ def main() -> None:
     system.finish()
     wall = time.perf_counter() - t0
     fps = n_total / wall
-    fps_steady = ((n_total - steady_from - 1)
+    fps_steady = ((n_total - steady_frame0)
                   / max(time.perf_counter() - t_steady, 1e-9)
                   if t_steady is not None else fps)
 
@@ -189,9 +245,11 @@ def main() -> None:
         photo_noise=args.photo_noise, gain_amp=args.gain_amp,
         keyframe_every=args.keyframe_every,
         backend=jax.default_backend(),
+        chunk=args.chunk,
         fps=round(fps, 2), fps_steady=round(fps_steady, 2),
         fps_pipeline=round(proc_frames / max(proc_s, 1e-9), 2),
-        wall_s=round(wall, 1),
+        wall_s=round(wall, 1), synth_s=round(synth_s, 1),
+        eval_s=round(eval_s, 1),
         tracking_lost_frames=lost,
         loops=system.num_loops, corrections=system.num_corrections,
         culled=system.num_culled, relocs=system.num_relocs,

@@ -78,6 +78,42 @@ def make_kernel(stage: str, wc_arg: int):
                 c2_ref[w, :] = jnp.zeros((hp,), jnp.float32)
                 bestr_ref[w, :] = jnp.zeros((hp,), jnp.int32)
                 continue
+            if stage == "rargmin_roll":
+                # rolling buffers via the hardware lane rotate instead of
+                # concat-shift; vacated lane re-seeded by a scalar compare
+                from jax.experimental.pallas import tpu as _pt
+                cand = jnp.where(base + w < wc_arg * N - 2, final, big)
+                mv = _pt.roll(mv, d - 1, 1)
+                ma = _pt.roll(ma, d - 1, 1)
+                last = lane == jnp.int32(d - 1)
+                mv = jnp.where(last, big, mv)
+                ma = jnp.where(last, jnp.int32(0), ma)
+                better = cand <= mv
+                mv = jnp.where(better, cand, mv)
+                ma = jnp.where(better, lane, ma)
+                best_ref[w, :] = jnp.zeros((hp,), jnp.int32)
+                cmin_ref[w, :] = cmin[:, 0]
+                c0_ref[w, :] = jnp.zeros((hp,), jnp.float32)
+                c2_ref[w, :] = jnp.zeros((hp,), jnp.float32)
+                bestr_ref[w, :] = ma[:, 0]
+                continue
+            if stage == "rargmin":
+                # recurrence + rolling right-argmin ONLY (the F2 kernel of
+                # the split-final design): no WTA, no taps
+                cand = jnp.where(base + w < wc_arg * N - 2, final, big)
+                mv = jnp.concatenate(
+                    [mv[:, 1:], jnp.full((hp, 1), big, jnp.float32)], axis=1)
+                ma = jnp.concatenate(
+                    [ma[:, 1:], jnp.zeros((hp, 1), jnp.int32)], axis=1)
+                better = cand <= mv
+                mv = jnp.where(better, cand, mv)
+                ma = jnp.where(better, lane, ma)
+                best_ref[w, :] = jnp.zeros((hp,), jnp.int32)
+                cmin_ref[w, :] = cmin[:, 0]
+                c0_ref[w, :] = jnp.zeros((hp,), jnp.float32)
+                c2_ref[w, :] = jnp.zeros((hp,), jnp.float32)
+                bestr_ref[w, :] = ma[:, 0]
+                continue
             is_min = (final - cmin) <= zero
             best = jnp.min(jnp.where(is_min, lane, jnp.int32(d)),
                            axis=-1, keepdims=True)
