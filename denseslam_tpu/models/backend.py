@@ -159,6 +159,8 @@ class Backend:
         self.keyframes: List[Keyframe] = []
         self.last_ba_ms: float = 0.0     # BA solve wall time, first-class
                                          # metric (BASELINE.md targets)
+        self.ba_rejects: int = 0         # diverged/non-improving solves
+        self.pg_rejects: int = 0         # rejected (poses kept as-is)
         # pose-graph edges, keyed by FRAME ID (stable under keyframe
         # culling, unlike list indices): (fid_i, fid_j, T_ij, weight)
         self.odom_edges: List[Tuple[int, int, np.ndarray, float]] = []
@@ -235,9 +237,30 @@ class Backend:
         import time as _time
         t0 = _time.perf_counter()
         res = self._ba(problem)
-        float(jax.device_get(res.final_cost))   # fetch-synced timing
+        # one packed fetch: costs (divergence guard) + the sync for timing
+        c0, c1 = (float(x) for x in jax.device_get(
+            (res.initial_cost, res.final_cost)))
         self.last_ba_ms = (_time.perf_counter() - t0) * 1000.0
+        # reject diverged / non-improving solves instead of poisoning the
+        # stored poses (plain GN can step uphill on a bad linearisation;
+        # a single poisoned window pose feeds back through the odometry
+        # edges and the pose back-channel and snowballs to inf)
+        if not np.isfinite(c1) or c1 > c0 * 1.05 + 1e-6:
+            self.ba_rejects += 1
+            return None
         opt = np.asarray(res.T_wc)[pad:]
+        if not np.isfinite(opt).all():
+            self.ba_rejects += 1
+            return None
+        # local BA is a refinement: a window keyframe moving metres in one
+        # solve is divergence, not correction (large corrections come from
+        # the pose graph). Reject rather than poison the stored poses.
+        move = np.linalg.norm(
+            opt[:, :3, 3]
+            - np.stack([kf.T_wc for kf in window])[:, :3, 3], axis=1)
+        if move.max() > 2.0:
+            self.ba_rejects += 1
+            return None
         base = len(self.keyframes) - k
         for i, kf in enumerate(window):
             self.keyframes[base + i] = kf._replace(T_wc=opt[i])
@@ -410,6 +433,10 @@ class Backend:
             )
         g = self._pg(g)
         opt = np.asarray(g.T_wc[:n])
+        if not np.isfinite(opt).all():       # diverged relaxation: keep
+            self.pg_rejects += 1             # the odometry poses
+            ids = np.array([k.frame_id for k in kfs], np.int64)
+            return ids, np.stack([k.T_wc for k in kfs])
         offset = len(self.keyframes) - n
         for i, kf in enumerate(kfs):
             self.keyframes[offset + i] = kf._replace(T_wc=opt[i])

@@ -621,6 +621,18 @@ class DenseSLAM:
         self._icp = jax.jit(
             functools.partial(icp_ops.track, intr=cfg.rig.intr)
         )
+        # telemetry packers: the host needs a handful of scalars every
+        # frame (tracking_ok before the fusion decision; pose + block
+        # count for history/accounting). On the tunneled runtime EACH
+        # scalar readback costs a full fetch RTT (~27 ms), so the
+        # per-frame path packs them into two single-fetch vectors
+        # instead of 6 separate int()/bool()/np.asarray() pulls.
+        self._pack3 = jax.jit(lambda a, b, c: jnp.stack(
+            [a.astype(jnp.float32), b.astype(jnp.float32),
+             c.astype(jnp.float32)]))
+        self._pack_pose_nb = jax.jit(lambda T, m: jnp.concatenate(
+            [T.reshape(-1).astype(jnp.float32),
+             tsdf_ops.num_allocated_blocks(m).astype(jnp.float32)[None]]))
 
     # -- fusion DB: lives with the ACTIVE submap (correction history
     # survives submap spawns; round-1 reset it and lost the history) ------
@@ -673,10 +685,10 @@ class DenseSLAM:
             # ground-plane scale; dense fusion only when depth is supplied.
             self.fe_state, vo = self._mono_vo(self.fe_state, left)
             T_wc = vo.T_wc
-            tracking_ok = bool(vo.tracking_ok)
-            vo_stats = dict(
-                num_inliers=int(vo.num_inliers), num_quads=int(vo.num_quads)
-            )
+            s = np.asarray(self._pack3(
+                vo.tracking_ok, vo.num_inliers, vo.num_quads))
+            tracking_ok = bool(s[0])
+            vo_stats = dict(num_inliers=int(s[1]), num_quads=int(s[2]))
         elif cfg.pipeline.sensor == "rgbd" and cfg.pipeline.use_external_odometry:
             # RGB-D mode (reference: orbTrackRGBD): feature VO with depth
             # synthesising virtual right-view observations (rgbd_vo_step)
@@ -684,10 +696,10 @@ class DenseSLAM:
                 raise ValueError("rgbd VO needs a depth image")
             self.fe_state, vo = self._rgbd_vo(self.fe_state, left, depth)
             T_wc = vo.T_wc
-            tracking_ok = bool(vo.tracking_ok)
-            vo_stats = dict(
-                num_inliers=int(vo.num_inliers), num_quads=int(vo.num_quads)
-            )
+            s = np.asarray(self._pack3(
+                vo.tracking_ok, vo.num_inliers, vo.num_quads))
+            tracking_ok = bool(s[0])
+            vo_stats = dict(num_inliers=int(s[1]), num_quads=int(s[2]))
         elif cfg.pipeline.use_external_odometry:
             if right is None:
                 raise ValueError("stereo VO needs a right image")
@@ -695,10 +707,10 @@ class DenseSLAM:
                 self.fe_state, left, right,
                 budget_scale=jnp.float32(budget_scale))
             T_wc = vo.T_wc
-            tracking_ok = bool(vo.tracking_ok)
-            vo_stats = dict(
-                num_inliers=int(vo.num_inliers), num_quads=int(vo.num_quads)
-            )
+            s = np.asarray(self._pack3(
+                vo.tracking_ok, vo.num_inliers, vo.num_quads))
+            tracking_ok = bool(s[0])
+            vo_stats = dict(num_inliers=int(s[1]), num_quads=int(s[2]))
         else:
             # internal odometry: ICP against the raycast of the active map
             T_prev = (
@@ -716,8 +728,10 @@ class DenseSLAM:
                 rc = self._raycast(self.submaps.active, T_prev)
                 res = self._icp(depth, rc.points, rc.normals, rc.mask, T_prev, T_prev)
                 T_wc = res.T_wc
-                tracking_ok = bool(res.converged)
-                vo_stats = dict(icp_rmse=float(res.rmse))
+                s = np.asarray(self._pack3(
+                    res.converged, res.rmse, res.rmse))
+                tracking_ok = bool(s[0])
+                vo_stats = dict(icp_rmse=float(s[1]))
         TIMERS.toc("frontend", sync=T_wc)
 
         if depth is None and right is not None:
@@ -769,15 +783,19 @@ class DenseSLAM:
                     self.submaps.create_new(np.asarray(T_wc),
                                             anchor_frame_id=self.frame)
 
-        self.pose_history.append((self.frame, np.asarray(T_wc)))
+        # pose + block count in ONE fetch (see _pack_pose_nb note)
+        pose_nb = np.asarray(self._pack_pose_nb(T_wc, self.submaps.active))
+        T_np = pose_nb[:16].reshape(4, 4)
+        nb = int(pose_nb[16])
+        self.pose_history.append((self.frame, T_np))
         self.frame += 1
         return dict(
-            T_wc=T_wc,
+            T_wc=T_np,
             fused=fused,
             tracking_ok=tracking_ok,
             frame=self.frame - 1,
-            num_blocks=self.submaps.local_map_size(self.submaps.active_idx),
-            memory_bytes=int(tsdf_ops.used_memory_bytes(self.submaps.active)),
+            num_blocks=nb,
+            memory_bytes=nb * 16 * tsdf_ops.BLOCK_VOL,
             **vo_stats,
         )
 

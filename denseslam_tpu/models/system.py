@@ -70,6 +70,9 @@ class SLAMSystem:
         self.num_culled = 0
         self._lost_streak = 0
         self._seq_fn = None
+        # raw scan pose of the last registered keyframe (chunk-mode
+        # relative chaining); None until a chunk registers one
+        self._chain_scan = None
 
     def process_frame(self, left, right=None, depth=None,
                       timestamp: Optional[float] = None) -> dict:
@@ -112,7 +115,8 @@ class SLAMSystem:
             self.backend.add_keyframe(
                 out["frame"], np.asarray(out["T_wc"]), fe.feats_l, fe.feats_r
             )
-            self._backend_tick()
+            self._chain_scan = None     # per-frame registration breaks the
+            self._backend_tick()        # chunk-mode scan chain
 
         frame_ms = (_time.perf_counter() - t0) * 1000.0
         out["frame_ms"] = frame_ms
@@ -151,27 +155,105 @@ class SLAMSystem:
         slam.db = db
         slam.frame = frame0 + n
 
-        T_last = np.asarray(stats["T_wc"][-1])
-        fused_flags = np.asarray(stats["fused"])
+        # ONE fetch per small stats array (each scalar/array readback
+        # pays the full tunnel RTT; the old per-frame np.asarray loop
+        # cost ~19 fetches ≈ 0.5 s per 16-frame chunk)
+        T_all, fused_flags, ok_frames = jax.device_get(
+            (stats["T_wc"], stats["fused"], stats["tracking_ok"]))
         fused_any = bool(fused_flags.any())
-        for i in range(n):
-            slam.pose_history.append(
-                (int(frame0 + i), np.asarray(stats["T_wc"][i])))
+        import os
+        _dbg = bool(os.environ.get("DSL_DEBUG_RESYNC"))
+        if _dbg:
+            t_mag = np.abs(T_all[:, :3, 3]).max()
+            print(f"    scan f{int(frame0)}+{n}: max|t|={t_mag:.2f} "
+                  f"finite={bool(np.isfinite(T_all).all())}", flush=True)
 
-        # register EVERY fused keyframe with the backend (the reference's
+        # Register EVERY fused keyframe with the backend (the reference's
         # LocalMapping queue receives every keyframe; registering only the
         # chunk tail starved loop closure/BA of 1/chunk of the keyframes)
-        for i in np.flatnonzero(fused_flags):
-            self.backend.add_keyframe(
-                int(frame0 + i),
-                np.asarray(stats["T_wc"][i]),
-                jax.tree.map(lambda x: x[i], stats["feats_l"]),
-                jax.tree.map(lambda x: x[i], stats["feats_r"]),
-            )
-            self._backend_tick()
+        # by RELATIVE CHAINING: new_pose = (previous keyframe's CURRENT
+        # stored pose, i.e. post-BA) @ (raw scan relative motion). Scan
+        # poses later in the batch predate the backend ticks that moved
+        # earlier keyframes; registering them as absolutes makes the
+        # backend's consecutive-keyframe edges encode the optimisation
+        # delta as false motion. Accumulating the per-tick deltas
+        # multiplicatively was tried and is UNSTABLE: each tick's BA
+        # correction feeds the next registration, which BA corrects
+        # again — measured exponential blowup (|dt| 0.1 -> 0.4 -> 1.1 ->
+        # 10.8 -> inf within 10 ticks on the 540-frame drive). Chaining
+        # to the stored pose is self-stabilising: the registration error
+        # never exceeds one inter-keyframe hop.
+        def _orth(T):
+            # project the rotation part back onto SO(3). The chain
+            # composes host-side f32 products every keyframe; _inv_se3
+            # uses R^T as the inverse, so any scale/skew ε in R compounds
+            # CUBICALLY per hop (measured: poses exploded x45/keyframe
+            # after ~100 frames while translations still printed sane).
+            U, _, Vt = np.linalg.svd(np.asarray(T[:3, :3], np.float64))
+            R = (U @ Vt).astype(np.float32)
+            out = np.eye(4, dtype=np.float32)
+            out[:3, :3] = R
+            out[:3, 3] = T[:3, 3]
+            return out
+
+        def _inv_se3(T):
+            R, t = T[:3, :3], T[:3, 3]
+            out = np.eye(4, dtype=np.float32)
+            out[:3, :3] = R.T
+            out[:3, 3] = -R.T @ t
+            return out
+
+        D_run = np.eye(4, dtype=np.float32)
+        for j in range(n):
+            if fused_flags[j]:
+                fid = int(frame0 + j)
+                if self._chain_scan is None or not self.backend.keyframes:
+                    T_reg = _orth(T_all[j])
+                else:
+                    rel = _inv_se3(_orth(self._chain_scan)) @ _orth(T_all[j])
+                    T_reg = _orth(
+                        np.asarray(self.backend.keyframes[-1].T_wc,
+                                   np.float32) @ rel)
+                    if _dbg:
+                        Rp = self.backend.keyframes[-1].T_wc[:3, :3]
+                        print(
+                            f"      reg f{fid}: |prev|="
+                            f"{np.abs(self.backend.keyframes[-1].T_wc[:3, 3]).max():.2f}"
+                            f" orthdev={np.abs(Rp @ Rp.T - np.eye(3)).max():.2e}"
+                            f" |rel|={np.abs(rel[:3, 3]).max():.3f}"
+                            f" |scan_j|={np.abs(T_all[j][:3, 3]).max():.2f}",
+                            flush=True)
+                self.backend.add_keyframe(
+                    fid, T_reg,
+                    jax.tree.map(lambda x: x[j], stats["feats_l"]),
+                    jax.tree.map(lambda x: x[j], stats["feats_r"]),
+                )
+                self._chain_scan = np.asarray(T_all[j], np.float32)
+                self._backend_tick(resync=False)
+                # history anchors to the keyframe's post-tick stored pose
+                kfs = self.backend.keyframes
+                T_stored = (kfs[-1].T_wc
+                            if kfs and kfs[-1].frame_id == fid else T_reg)
+                if _dbg:
+                    mv = np.abs(np.asarray(T_stored) - T_reg).max()
+                    print(f"    kf{fid}: |reg_t|="
+                          f"{np.abs(T_reg[:3, 3]).max():.2f} ba_moved={mv:.4f}",
+                          flush=True)
+                D_run = _orth(np.asarray(T_stored, np.float32)
+                              @ _inv_se3(_orth(T_all[j])))
+            slam.pose_history.append((int(frame0 + j), D_run @ T_all[j]))
+        T_last = _orth(slam.pose_history[-1][1])
+
+        # one frontend re-anchor per chunk: continue the next scan from
+        # the corrected chain, and map the chain's raw scan pose into the
+        # next chunk's (shifted) scan frame
+        if not np.allclose(D_run, np.eye(4), atol=1e-7):
+            slam.fe_state = slam.fe_state._replace(
+                T_wc=jnp.asarray(T_last, jnp.float32))
+            if self._chain_scan is not None:
+                self._chain_scan = _orth(D_run @ self._chain_scan)
 
         dt = (_time.perf_counter() - t0) * 1000.0
-        ok_frames = np.asarray(stats["tracking_ok"])
         return dict(
             T_wc=T_last,
             tracking_ok=bool(ok_frames[1:].all()),
@@ -184,24 +266,33 @@ class SLAMSystem:
             ba_ms=self.backend.last_ba_ms,
         )
 
-    def _backend_tick(self) -> None:
+    def _backend_tick(self, resync: bool = True) -> np.ndarray:
         """Keyframe-rate backend work: loop closing every `loop_every`
         keyframes, local BA every `ba_every`; optimised poses flow back to
         the frontend and dense map (the LocalMapping/LoopClosing thread
-        cadence, flattened to explicit scheduling)."""
+        cadence, flattened to explicit scheduling). `resync=True`
+        (per-frame mode) propagates the optimisation into the frontend
+        pose immediately; chunk mode passes False and re-anchors the
+        frontend once per chunk from the keyframe chain instead. Returns
+        the net world-side delta applied to the frontend pose."""
+        D = np.eye(4, dtype=np.float32)
         nkf = self.backend.num_keyframes
         if self.loop_every and nkf % self.loop_every == 0:
             if self.backend.detect_loop() is not None:
                 self.num_loops += 1
+                T_before = self.backend.keyframes[-1].T_wc.copy()
                 ids, opt = self.backend.optimize_graph()
                 self.num_corrections += self.slam.apply_pose_updates(ids, opt)
-                self._resync_pose()
+                if resync:
+                    D = self._resync_pose(T_before) @ D
         if self.ba_every and nkf >= 2 and nkf % self.ba_every == 0:
+            T_before = self.backend.keyframes[-1].T_wc.copy()
             res = self.backend.local_ba()
             if res is not None:
                 ids, opt = res
                 self.num_corrections += self.slam.apply_pose_updates(ids, opt)
-                self._resync_pose()
+                if resync:
+                    D = self._resync_pose(T_before) @ D
                 # redundant-keyframe culling on the BA window's
                 # covisibility evidence; the culled frames' fused
                 # contributions are de-integrated from the dense map
@@ -210,18 +301,40 @@ class SLAMSystem:
                 if culled:
                     self.slam.purge_keyframes(np.asarray(culled))
                     self.num_culled += len(culled)
+        return D
 
-    def _resync_pose(self) -> None:
-        """Propagate the backend's latest optimised keyframe pose into the
+    def _resync_pose(self, T_before: np.ndarray) -> None:
+        """Propagate the backend's latest keyframe optimisation into the
         frontend estimate (the reference's pose back-channel,
-        OrbSLAMDriver.h:120-122)."""
+        OrbSLAMDriver.h:120-122) as a WORLD-SIDE DELTA: the frontend may
+        be several frames past the keyframe (chunk mode), so overwriting
+        its pose with the keyframe pose teleports it backwards by the
+        intervening motion — measured 13x ATE blowup on the 540-frame
+        drive. T_cur' = T_opt @ T_before^-1 @ T_cur is a no-op when the
+        optimiser didn't move the keyframe and reduces to the overwrite
+        when the frontend IS at the keyframe (per-frame mode). Returns
+        the delta it applied."""
+        eye = np.eye(4, dtype=np.float32)
         if not self.backend.keyframes:
-            return
+            return eye
         last = self.backend.keyframes[-1]
-        # re-anchor the frontend at the optimised pose of its latest keyframe
+        Tb = np.asarray(T_before, np.float32)
+        Tb_inv = eye.copy()
+        Tb_inv[:3, :3] = Tb[:3, :3].T
+        Tb_inv[:3, 3] = -Tb[:3, :3].T @ Tb[:3, 3]
+        delta = np.asarray(last.T_wc, np.float32) @ Tb_inv
+        if np.allclose(delta, eye, atol=1e-7):
+            return eye
+        import os
+        if os.environ.get("DSL_DEBUG_RESYNC"):
+            t = float(np.linalg.norm(delta[:3, 3]))
+            r = float(np.linalg.norm(delta[:3, :3] - np.eye(3)))
+            print(f"    resync kf={last.frame_id} |dt|={t:.4f} |dR|={r:.4f}",
+                  flush=True)
         fe = self.slam.fe_state
-        T_opt = jnp.asarray(last.T_wc)
-        self.slam.fe_state = fe._replace(T_wc=T_opt)
+        T_new = jnp.asarray(delta, jnp.float32) @ fe.T_wc
+        self.slam.fe_state = fe._replace(T_wc=T_new)
+        return delta
 
     def finish(self) -> None:
         """Sequence end: decay catch-up (reference DecayCatchup)."""

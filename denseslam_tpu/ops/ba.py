@@ -122,6 +122,17 @@ def solve(problem: BAProblem, rig: StereoRig, cfg: BackendConfig,
         return allsum(jnp.sum(ok[..., None] * r * r)), r, p, ok
 
     def gn_iter(mask):
+        # Cameras with too few effective observations this round are
+        # FROZEN like gauge-fixed ones: their U blocks are near-singular,
+        # and the damped solve emits large null-direction steps that a
+        # Huber-plateaued total cost never vetoes (measured on the
+        # 540-frame drive: a keyframe with no cross-window matches walked
+        # 2 m -> 18 m -> 16 km over three accepted solves). 8 obs ~= the
+        # minimum for a well-conditioned 6-dof stereo camera.
+        eff = mask & problem.point_valid[:, None]
+        weak = allsum(jnp.sum(eff.astype(jnp.int32), axis=0)) < 8
+        fixm = problem.fixed | weak
+
         def step(carry, _):
             T_cw, pts, lm_damp = carry
             cost0, r, p, w = cost_of(T_cw, pts, mask)
@@ -155,7 +166,6 @@ def solve(problem: BAProblem, rig: StereoRig, cfg: BackendConfig,
             S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
             rhs = b_c - allsum(jnp.einsum("lkim,lm->ki", WVinv, b_p))
 
-            fixm = problem.fixed
             S = jnp.where(
                 fixm[:, None, None, None] | fixm[None, :, None, None], 0.0, S)
             S = S.at[jnp.arange(K), jnp.arange(K)].add(

@@ -169,7 +169,11 @@ def main() -> None:
             elif hi >= steady_from and t_steady is None:
                 t_steady = time.perf_counter()
                 steady_frame0 = hi
-            lost += int((~okf[1:]).sum() if base == 0 else (~okf).sum())
+            nl = int((~okf[1:]).sum() if base == 0 else (~okf).sum())
+            lost += nl
+            if nl and os.environ.get("DSL_DEBUG_RESYNC"):
+                print(f"    LOST {nl} frames in chunk @{base}: "
+                      f"{np.flatnonzero(~okf).tolist()}", flush=True)
             for i in range(hi - base):
                 t = base + i
                 if t % args.keyframe_every == 0 and okf[i]:
@@ -253,6 +257,8 @@ def main() -> None:
         tracking_lost_frames=lost,
         loops=system.num_loops, corrections=system.num_corrections,
         culled=system.num_culled, relocs=system.num_relocs,
+        ba_rejects=system.backend.ba_rejects,
+        pg_rejects=system.backend.pg_rejects,
         keyframes=system.backend.num_keyframes,
         final_map_mb=round(system.memory_bytes() / 1e6, 1),
         ate_rmse_m=round(ate, 4), end_error_m=round(end_err, 4),

@@ -36,5 +36,8 @@ EOF
   timeout 3000 python scripts/bench_full.py --keyframe_every 4
   echo "=== $(date) bench_ba ==="
   timeout 1200 python scripts/bench_ba.py
+  echo "=== $(date) long drive (full-system validation: ATE/RPE/depth) ==="
+  timeout 5400 python scripts/long_drive_eval.py \
+    --json results_long_drive.json --out RESULTS.md
   echo "=== $(date) DONE ==="
 } >> "$LOG" 2>&1

@@ -146,3 +146,40 @@ def test_relocalization_after_lost_tracking():
     assert sys_.num_relocs >= 1
     err = np.linalg.norm(np.asarray(out["T_wc"])[:3, 3] - poses[1][:3, 3])
     assert err < 0.15, err
+
+
+def test_resync_propagates_delta_not_teleport():
+    """The backend pose back-channel must apply the optimisation DELTA to
+    the frontend's CURRENT pose (which, in chunk mode, is several frames
+    past the optimised keyframe) — overwriting with the keyframe pose
+    teleports the frontend backwards by the intervening motion (measured
+    13x ATE blowup on the 540-frame drive before the fix)."""
+    cfg = make_cfg()
+    sys_ = SLAMSystem(cfg, ba_every=0, loop_every=0)
+
+    # frontend is 0.5 m past the keyframe
+    T_kf = np.eye(4, dtype=np.float32)
+    T_cur = np.eye(4, dtype=np.float32)
+    T_cur[2, 3] = 0.5
+    sys_.slam.fe_state = sys_.slam.fe_state._replace(
+        T_wc=jnp.asarray(T_cur))
+
+    # the optimiser nudged the keyframe by a known world-side delta
+    delta = np.eye(4, dtype=np.float32)
+    delta[0, 3] = 0.1
+    T_opt = delta @ T_kf
+    from denseslam_tpu.models.backend import Keyframe
+    sys_.backend.keyframes.append(
+        Keyframe(0, T_opt, None, None, None))
+    sys_._resync_pose(T_before=T_kf)
+
+    got = np.asarray(sys_.slam.fe_state.T_wc)
+    np.testing.assert_allclose(got, delta @ T_cur, atol=1e-6)
+
+    # no-op when the optimiser did not move the keyframe
+    sys_.backend.keyframes[-1] = Keyframe(0, T_kf, None, None, None)
+    sys_.slam.fe_state = sys_.slam.fe_state._replace(
+        T_wc=jnp.asarray(T_cur))
+    sys_._resync_pose(T_before=T_kf)
+    np.testing.assert_allclose(
+        np.asarray(sys_.slam.fe_state.T_wc), T_cur, atol=0)
