@@ -248,6 +248,13 @@ class PipelineConfig:
     # each step is a sphere-tracing correction from trilinear TSDF samples
     # (~30 ms/step at KITTI res). 0 = raw splat estimate.
     splat_refine: int = 0
+    # Device-memory budget for the dense map across ALL submaps, in MB
+    # (-1 = unbounded). When the summed HBM footprint (voxel pools +
+    # fusion DBs, true array bytes) exceeds it, the oldest non-active
+    # submaps are spilled to host DRAM — the ITMSwappingEngine::
+    # SaveToGlobalMemory role (reference: DenseSlam.h:248-251); they are
+    # restored on demand for online correction or composite rendering.
+    map_memory_budget_mb: float = -1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="spawn a new submap when the visible fraction of "
                         "the active map drops below this (<0 disables, the "
                         "reference default)")
+    p.add_argument("--map_memory_budget_mb", type=float, default=-1.0,
+                   help="HBM budget for all submaps (pools + fusion DBs); "
+                        "oldest inactive submaps spill to host DRAM above "
+                        "it (the ITMSwappingEngine SaveToGlobalMemory role; "
+                        "<0 = unbounded)")
     # outputs
     p.add_argument("--save_trajectory", default=None)
     p.add_argument("--save_composite", default=None,
@@ -157,6 +162,7 @@ def build_config(args, rig):
             sensor={"monocular": "mono"}.get(args.sensor, args.sensor),
             use_external_odometry=not args.internal_odometry,
             new_submap_threshold=args.new_submap_threshold,
+            map_memory_budget_mb=args.map_memory_budget_mb,
         ),
     )
 
@@ -396,6 +402,11 @@ def main(argv=None) -> int:
         mean_fusion_ms=slam.mean_fusion_ms(),
         final_blocks=slam.submaps.local_map_size(slam.submaps.active_idx),
         final_memory_mb=slam.memory_bytes() / 1e6,
+        num_submaps=slam.submaps.num_local_maps,
+        num_device_submaps=slam.submaps.num_active_local_maps,
+        device_memory_mb=slam.submaps.device_memory_bytes() / 1e6,
+        submap_evictions=slam.submaps.num_evictions,
+        submap_restores=slam.submaps.num_restores,
     )
     if not args.quiet:
         print(json.dumps(summary))

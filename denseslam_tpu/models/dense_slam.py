@@ -384,6 +384,8 @@ class SubmapManager:
         self.global_poses: List[np.ndarray] = []
         self.spawn_poses: List[np.ndarray] = []
         self.anchor_frames: List[int] = []
+        self.num_evictions = 0
+        self.num_restores = 0
         self.create_new(np.eye(4, dtype=np.float32), anchor_frame_id=0)
 
     def create_new(self, T_global: np.ndarray,
@@ -393,6 +395,9 @@ class SubmapManager:
         self.global_poses.append(np.asarray(T_global))
         self.spawn_poses.append(np.asarray(T_global))
         self.anchor_frames.append(int(anchor_frame_id))
+        # a spawn is when the device footprint jumps by one pool + DB —
+        # the natural memory-pressure checkpoint
+        self.enforce_memory_budget()
         return len(self.maps) - 1
 
     def delta(self, idx: int) -> np.ndarray:
@@ -480,21 +485,66 @@ class SubmapManager:
 
     # -- host spill: the ITMSwappingEngine::SaveToGlobalMemory equivalent
     # (reference: DenseSlam.h:248-251 — evict whole submap volumes to host
-    # memory); device HBM is freed, state restorable on demand.
+    # memory); device HBM is freed, state restorable on demand. The fusion
+    # DB travels with its submap (it is the larger array at KITTI res:
+    # capacity x HxW x f32 x 2 planes) so eviction actually frees HBM.
 
     def evict_to_host(self, idx: int) -> None:
-        import jax
-        m = self.maps[idx]
-        if isinstance(m, tsdf_ops.MapState):
-            self.maps[idx] = jax.tree.map(lambda x: np.asarray(x), m)
+        if self.is_on_host(idx):
+            return
+        self.maps[idx] = jax.tree.map(np.asarray, self.maps[idx])
+        self.dbs[idx] = jax.tree.map(np.asarray, self.dbs[idx])
+        self.num_evictions += 1
 
     def restore_to_device(self, idx: int) -> None:
-        import jax
-        m = self.maps[idx]
-        self.maps[idx] = jax.tree.map(jnp.asarray, m)
+        if not self.is_on_host(idx):
+            return
+        self.maps[idx] = jax.tree.map(jnp.asarray, self.maps[idx])
+        self.dbs[idx] = jax.tree.map(jnp.asarray, self.dbs[idx])
+        self.num_restores += 1
 
     def is_on_host(self, idx: int) -> bool:
         return isinstance(self.maps[idx].tsdf, np.ndarray)
+
+    # -- memory-budget policy (what actually CALLS the swapping engine) ----
+
+    @staticmethod
+    def _tree_nbytes(tree) -> int:
+        return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                   for x in jax.tree.leaves(tree))
+
+    def submap_device_bytes(self, idx: int) -> int:
+        """True HBM footprint of one submap: voxel pool + hash table +
+        fusion DB (all fixed-shape, fully allocated — unlike the
+        used-block accounting of `local_map_size`, which mirrors the
+        reference's ITMVoxel bookkeeping, this is what the device
+        actually holds)."""
+        if self.is_on_host(idx):
+            return 0
+        return (self._tree_nbytes(self.maps[idx])
+                + self._tree_nbytes(self.dbs[idx]))
+
+    def device_memory_bytes(self) -> int:
+        return sum(self.submap_device_bytes(i)
+                   for i in range(len(self.maps)))
+
+    def enforce_memory_budget(self) -> List[int]:
+        """Spill the oldest non-active device-resident submaps until the
+        total device footprint fits `pipeline.map_memory_budget_mb`
+        (<0 = unbounded). The active submap is never evicted (it is being
+        fused into every keyframe). Returns the indices evicted."""
+        budget_mb = self.cfg.pipeline.map_memory_budget_mb
+        if budget_mb < 0 or len(self.maps) < 2:
+            return []
+        budget = int(budget_mb * 1e6)
+        evicted: List[int] = []
+        for idx in range(len(self.maps) - 1):        # oldest first
+            if self.device_memory_bytes() <= budget:
+                break
+            if not self.is_on_host(idx):
+                self.evict_to_host(idx)
+                evicted.append(idx)
+        return evicted
 
     @property
     def num_active_local_maps(self) -> int:
@@ -503,6 +553,8 @@ class SubmapManager:
         return sum(1 for i in range(len(self.maps)) if not self.is_on_host(i))
 
     def local_map_size(self, idx: int) -> int:
+        if self.is_on_host(idx):   # count on host; don't round-trip HBM
+            return int(np.asarray(self.maps[idx].table.valid).sum())
         return int(tsdf_ops.num_allocated_blocks(self.maps[idx]))
 
     def should_start_new(self, visible_blocks: int,
@@ -825,8 +877,15 @@ class DenseSLAM:
             return 0
         total = 0
         for si in range(self.submaps.num_local_maps):
+            restored = False
             if self.submaps.is_on_host(si):
-                continue
+                # spilled submap: peek at its (host) frame ids first;
+                # restore to device only if corrections actually touch it
+                if not np.isin(np.asarray(self.submaps.dbs[si].frame_id),
+                               frame_ids).any():
+                    continue
+                self.submaps.restore_to_device(si)
+                restored = True
             db_i = self.submaps.dbs[si]
             db_ids = np.asarray(db_i.frame_id)
             c = db_ids.shape[0]
@@ -837,6 +896,8 @@ class DenseSLAM:
                     opt_T[slot] = poses[lut[int(fid)]]
                     opt_valid[slot] = True
             if not opt_valid.any():
+                if restored:
+                    self.submaps.evict_to_host(si)
                 continue
             # sharded mode shards the ACTIVE map only; inactive submaps
             # (if spawned) stay single-chip and use the single-chip replay
@@ -850,6 +911,9 @@ class DenseSLAM:
             self.submaps.maps[si] = m
             self.submaps.dbs[si] = db
             total += int(num)
+            if restored:   # corrected content goes back to host spill
+                self.submaps.evict_to_host(si)
+        self.submaps.enforce_memory_budget()
         return total
 
     def purge_keyframes(self, culled_frame_ids: np.ndarray) -> None:
@@ -895,8 +959,14 @@ class DenseSLAM:
         T = T_wc if T_wc is not None else jnp.asarray(self.fe_state.T_wc)
         best: Optional[rc_ops.Raycast] = None
         for idx in range(self.submaps.num_local_maps):
+            respill = False
             if self.submaps.is_on_host(idx):
-                continue
+                # spilled submaps still appear in the composite: restore
+                # for the render, spill back after (the reference's
+                # swapped-out submaps round-trip through the swapping
+                # engine the same way)
+                self.submaps.restore_to_device(idx)
+                respill = True
             D = jnp.asarray(self.submaps.delta(idx))
             # render the submap as if its content were rigidly moved by D:
             # camera inv(D) @ T sees map-frame content exactly as T sees
@@ -908,6 +978,8 @@ class DenseSLAM:
             nrm = (rc.normals.reshape(-1, 3) @ D[:3, :3].T).reshape(
                 rc.normals.shape)
             rc = rc._replace(points=pts, normals=nrm)
+            if respill:   # rendered image is its own buffer; drop the pool
+                self.submaps.evict_to_host(idx)
             if best is None:
                 best = rc
                 continue

@@ -122,3 +122,66 @@ def test_correction_history_survives_spawn(cfg):
     T0_after = np.asarray(slam.submaps.dbs[0].T_fused)
     assert not np.allclose(T0_before, T0_after), (
         "old submap's correction history was not replayed")
+
+
+def test_memory_budget_spills_and_restores(cfg):
+    """Swapping engine (ITMSwappingEngine::SaveToGlobalMemory, reference
+    DenseSlam.h:248-251) wired to a memory-budget policy: spawning past the
+    budget spills the inactive submap to host; composite rendering and
+    online correction restore it on demand and spill it back."""
+    one = DenseSLAM(cfg).submaps.submap_device_bytes(0)
+    budget_mb = 1.5 * one / 1e6          # two submaps don't fit
+    cfg2 = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, map_memory_budget_mb=budget_mb))
+
+    rng = np.random.default_rng(5)
+    slam = DenseSLAM(cfg2)
+    gt = synthetic.make_trajectory(5, step_m=0.06, yaw_rate=0.0)
+    drift = [np.asarray(gt[0])]
+    for i in range(1, 5):
+        xi = np.concatenate([rng.normal(0, 0.04, 3),
+                             rng.normal(0, 0.01, 3)]).astype(np.float32)
+        drift.append(np.asarray(
+            jnp.asarray(gt[i]) @ lie.se3_exp(jnp.asarray(xi))))
+    for i in range(3):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(drift[i]))
+    blocks0 = slam.submaps.local_map_size(0)
+    assert blocks0 > 0
+
+    # spawn -> over budget -> submap 0 spills
+    slam.submaps.create_new(np.asarray(drift[3]), anchor_frame_id=3)
+    assert slam.submaps.is_on_host(0)
+    assert slam.submaps.num_evictions == 1
+    assert slam.submaps.device_memory_bytes() <= budget_mb * 1e6
+    assert slam.submaps.num_active_local_maps == 1
+    # host-side accounting still works without touching the device
+    assert slam.submaps.local_map_size(0) == blocks0
+
+    for i in range(3, 5):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(drift[i]))
+
+    # composite render restores the spilled submap, uses it, spills back
+    rc = slam.raycast_composite(jnp.asarray(gt[0]))
+    assert slam.submaps.is_on_host(0)
+    assert int(np.asarray(rc.mask).sum()) > 100   # submap-0 content shows
+    assert slam.submaps.num_restores >= 1
+
+    # correction touching the spilled submap's frames round-trips it
+    T0_before = np.asarray(slam.submaps.dbs[0].T_fused).copy()
+    num = slam.apply_pose_updates(
+        np.arange(5), np.stack([np.asarray(g) for g in gt]))
+    assert num > 0
+    assert slam.submaps.is_on_host(0)             # spilled back after
+    T0_after = np.asarray(slam.submaps.dbs[0].T_fused)
+    assert not np.allclose(T0_before, T0_after), (
+        "spilled submap's correction history was not replayed")
+
+    # correction that does NOT touch the spilled submap leaves it on host
+    restores_before = slam.submaps.num_restores
+    slam.apply_pose_updates(np.array([4]), gt[4][None])
+    assert slam.submaps.num_restores == restores_before
