@@ -80,6 +80,32 @@ def draw_features(img: np.ndarray, uv: np.ndarray,
     return out
 
 
+def draw_flow(img: np.ndarray, uv_prev: np.ndarray, uv_curr: np.ndarray,
+              valid: np.ndarray) -> np.ndarray:
+    """Input image with the matched prev->curr scene-flow vectors — the
+    reference GUI's sparse-scene-flow overlay (VisoSparseSFProvider::
+    GetFlow drawn at DenseSLAMGUI.cpp:216-220): a line from the previous
+    position to the current one with a dot at the current end."""
+    import cv2
+
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    out = np.clip(img, 0, 255).astype(np.uint8).copy()
+    line_c = (22, 128, 233)   # amber in BGR
+    dot_c = (112, 158, 25)
+    for (up, vp), (uc, vc), ok in zip(np.asarray(uv_prev),
+                                      np.asarray(uv_curr),
+                                      np.asarray(valid)):
+        if ok:
+            cv2.line(out, (int(round(up)), int(round(vp))),
+                     (int(round(uc)), int(round(vc))), line_c, 1,
+                     lineType=cv2.LINE_AA)
+            cv2.circle(out, (int(round(uc)), int(round(vc))), 2, dot_c, -1,
+                       lineType=cv2.LINE_AA)
+    return out
+
+
 class _OrbitCam:
     """Host-side orbit-camera state (azimuth/elevation/radius around a
     target) — the DSHandler3D eye/center model. World convention is the

@@ -322,6 +322,14 @@ def main(argv=None) -> int:
                         np.asarray(fs.feats_l.valid))
                 else:
                     panes["input_rgb"] = np.asarray(left).astype(np.uint8)
+                flow = getattr(slam, "last_flow", None)
+                if flow is not None:
+                    # sparse scene-flow pane (reference GUI's matched-flow
+                    # overlay, DenseSLAMGUI.cpp:216-220)
+                    from .io.viewer import draw_flow
+                    panes["scene_flow"] = draw_flow(
+                        np.asarray(left), np.asarray(flow[0]),
+                        np.asarray(flow[1]), np.asarray(flow[2]))
                 if depth is not None:
                     panes["input_depth"] = colorize_depth(
                         np.asarray(depth), cfg.tsdf.max_depth_m)

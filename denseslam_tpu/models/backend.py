@@ -186,15 +186,25 @@ class Backend:
     # -- keyframe registry -------------------------------------------------
 
     def add_keyframe(self, frame_id: int, T_wc: np.ndarray,
-                     feats_l: Features, feats_r: Features) -> int:
-        sig = _signature(feats_l)
-        kf = Keyframe(frame_id, np.asarray(T_wc), feats_l, feats_r, sig)
+                     feats_l: Features, feats_r: Features,
+                     sig: Optional[np.ndarray] = None) -> int:
+        """Register a keyframe. `sig` is its retrieval sketch; pass the
+        (fetched) output of `signature_device` to avoid the 3 descriptor
+        readbacks `_signature` pays per call on a tunneled runtime —
+        the chunk path computes sketches inside the scan program."""
+        if sig is None:
+            sig = _signature(feats_l)
+        T_wc = np.asarray(T_wc, np.float32)
+        kf = Keyframe(frame_id, T_wc, feats_l, feats_r, np.asarray(sig))
         if self.keyframes:
-            prev = self.keyframes[-1]
-            T_rel = np.asarray(
-                lie.inv_T(jnp.asarray(prev.T_wc)) @ jnp.asarray(T_wc)
-            )
-            self.odom_edges.append((prev.frame_id, frame_id, T_rel, 1.0))
+            # pure-numpy relative pose: jnp here costs 2 tunnel RTTs per
+            # keyframe (measured ~100 ms/call in exp_chunk_overhead)
+            prev = np.asarray(self.keyframes[-1].T_wc, np.float32)
+            T_rel = np.eye(4, dtype=np.float32)
+            T_rel[:3, :3] = prev[:3, :3].T @ T_wc[:3, :3]
+            T_rel[:3, 3] = prev[:3, :3].T @ (T_wc[:3, 3] - prev[:3, 3])
+            self.odom_edges.append(
+                (self.keyframes[-1].frame_id, frame_id, T_rel, 1.0))
         self.keyframes.append(kf)
         return len(self.keyframes) - 1
 
@@ -474,6 +484,23 @@ def _signature(feats: Features) -> np.ndarray:
     out = np.zeros((_SIG_M, d.shape[1]), np.float32)
     out[: d.shape[0]] = d
     return out
+
+
+def signature_device(feats: Features) -> jax.Array:
+    """`_signature` as device compute (jnp): the chunk path runs this per
+    frame inside the `process_sequence` scan so keyframe sketches arrive
+    in the same packed stats fetch as the poses — no per-keyframe
+    descriptor readbacks."""
+    k = min(_SIG_M, feats.score.shape[0])
+    s = jnp.where(feats.valid, feats.score, -jnp.inf)
+    _, idx = jax.lax.top_k(s, k)
+    d = feats.desc[idx]
+    ok = feats.valid[idx]
+    n = jnp.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.where(n > 1e-6, d / jnp.maximum(n, 1e-6), 0.0) * ok[:, None]
+    if k < _SIG_M:
+        d = jnp.pad(d, ((0, _SIG_M - k), (0, 0)))
+    return d.astype(jnp.float32)
 
 
 def _retrieval_scores(q_sig: np.ndarray, sigs: np.ndarray,

@@ -217,6 +217,7 @@ def process_sequence(
             return fuse_keyframe(m, db, depth, l, vo.T_wc, fid, cfg)
 
         m, db = jax.lax.cond(is_kf, fuse, lambda args: args, (m, db))
+        from .backend import signature_device
         stats = dict(
             T_wc=vo.T_wc,
             tracking_ok=vo.tracking_ok,
@@ -227,6 +228,10 @@ def process_sequence(
             # reference's LocalMapping queue sees every keyframe)
             feats_l=fe_state.feats_l,
             feats_r=fe_state.feats_r,
+            # retrieval sketch computed ON DEVICE so keyframe
+            # registration needs no descriptor readbacks (the sketches
+            # ride the chunk's single packed stats fetch)
+            sig=signature_device(fe_state.feats_l),
         )
         return (fe_state, m, db), stats
 
@@ -606,6 +611,10 @@ class DenseSLAM:
         self.last_fused_depth: Optional[jax.Array] = None
         self.last_fused_T: Optional[jax.Array] = None
         self.fusion_ms: List[float] = []
+        # (uv_prev, uv_curr, valid) of the last VO step's matches — device
+        # arrays kept for the GUI scene-flow pane (fetched only when a
+        # viewer renders it); reference: VisoSparseSFProvider::GetFlow
+        self.last_flow: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
 
         self._vo = jax.jit(functools.partial(fe.vo_step, cfg=cfg))
         self._mono_vo = jax.jit(functools.partial(fe.mono_vo_step, cfg=cfg))
@@ -737,6 +746,7 @@ class DenseSLAM:
             # ground-plane scale; dense fusion only when depth is supplied.
             self.fe_state, vo = self._mono_vo(self.fe_state, left)
             T_wc = vo.T_wc
+            self.last_flow = (vo.flow_uv_prev, vo.flow_uv_curr, vo.flow_valid)
             s = np.asarray(self._pack3(
                 vo.tracking_ok, vo.num_inliers, vo.num_quads))
             tracking_ok = bool(s[0])
@@ -748,6 +758,7 @@ class DenseSLAM:
                 raise ValueError("rgbd VO needs a depth image")
             self.fe_state, vo = self._rgbd_vo(self.fe_state, left, depth)
             T_wc = vo.T_wc
+            self.last_flow = (vo.flow_uv_prev, vo.flow_uv_curr, vo.flow_valid)
             s = np.asarray(self._pack3(
                 vo.tracking_ok, vo.num_inliers, vo.num_quads))
             tracking_ok = bool(s[0])
@@ -759,6 +770,7 @@ class DenseSLAM:
                 self.fe_state, left, right,
                 budget_scale=jnp.float32(budget_scale))
             T_wc = vo.T_wc
+            self.last_flow = (vo.flow_uv_prev, vo.flow_uv_curr, vo.flow_valid)
             s = np.asarray(self._pack3(
                 vo.tracking_ok, vo.num_inliers, vo.num_quads))
             tracking_ok = bool(s[0])
@@ -927,16 +939,19 @@ class DenseSLAM:
         self.db = db
 
     def decay_catchup(self) -> None:
-        """Sequence-end decay (InfiniTamDriver.h:315-331)."""
+        """Sequence-end decay (InfiniTamDriver.h:315-331). In sharded mode
+        the pass runs as an explicit per-shard shard_map program (decay is
+        per-slot; only the freed counter crosses shards)."""
         if not self.cfg.decay.enabled:
             return
+        w = self.cfg.decay.max_decay_weight
         for _ in range(self.cfg.decay.min_decay_age):
-            self.submaps.active = tsdf_ops.decay(
-                self.submaps.active,
-                self.cfg.decay.max_decay_weight,
-                0,
-                force_all=True,
-            )
+            if self._sharded is not None:
+                self.submaps.active = self._sharded.decay_catchup_step(
+                    self.submaps.active, jnp.float32(w))
+            else:
+                self.submaps.active = tsdf_ops.decay(
+                    self.submaps.active, w, 0, force_all=True)
 
     # -- rendering / export ------------------------------------------------
 
@@ -971,7 +986,14 @@ class DenseSLAM:
             # render the submap as if its content were rigidly moved by D:
             # camera inv(D) @ T sees map-frame content exactly as T sees
             # D-corrected content; points/normals map back through D
-            rc = self._raycast(self.submaps.maps[idx], lie.inv_T(D) @ T)
+            if self._sharded is not None and idx == self.submaps.active_idx:
+                # the active submap is sharded: render it with the sharded
+                # renderer (per-shard render + pmin combine), not the
+                # single-chip program
+                rc = self._sharded.raycast(self.submaps.maps[idx],
+                                           lie.inv_T(D) @ T)
+            else:
+                rc = self._raycast(self.submaps.maps[idx], lie.inv_T(D) @ T)
             pts = lie.transform_points(
                 D, rc.points.reshape(-1, 3)).reshape(rc.points.shape)
             pts = jnp.where(rc.mask[..., None], pts, 0.0)
@@ -1000,9 +1022,15 @@ class DenseSLAM:
     def save_mesh(self, path: str) -> int:
         """Marching-tetrahedra OBJ export of the active submap
         (SaveStaticMap / SaveCurrSceneToMesh equivalent,
-        reference: DenseSlam.cpp:638-643). Returns triangle count."""
+        reference: DenseSlam.cpp:638-643). Returns triangle count. A
+        sharded map is first repacked probe-consistently single-chip
+        (each shard hashes modulo LOCAL slots; meshing's neighbor lookups
+        need global probing)."""
         from ..ops import meshing
-        tris = meshing.extract_mesh(self.submaps.active, self.cfg.tsdf)
+        m = self.submaps.active
+        if self._sharded is not None:
+            m = self._sharded.gather_to_single(m)
+        tris = meshing.extract_mesh(m, self.cfg.tsdf)
         meshing.save_obj(path, tris)
         return int(tris.shape[0])
 

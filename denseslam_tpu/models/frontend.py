@@ -48,6 +48,12 @@ class VOOutput(NamedTuple):
     num_inliers: jax.Array
     num_quads: jax.Array
     tracking_ok: jax.Array       # bool (reference GetTrackingState()==OK)
+    # matched prev->curr flow vectors for the GUI scene-flow pane
+    # (reference: VisoSparseSFProvider::GetFlow rendered by
+    # DenseSLAMGUI.cpp:216-220); (M, 2) px, valid (M,)
+    flow_uv_prev: jax.Array
+    flow_uv_curr: jax.Array
+    flow_valid: jax.Array
 
 
 def _empty_features(cfg: SystemConfig) -> feat_ops.Features:
@@ -174,6 +180,9 @@ def vo_step(
         num_inliers=res.num_inliers,
         num_quads=jnp.sum(q.valid.astype(jnp.int32)),
         tracking_ok=use_est | ~state.initialized,
+        flow_uv_prev=q.uv_lp,
+        flow_uv_curr=q.uv_lc,
+        flow_valid=q.valid & state.initialized,
     )
     return new_state, out
 
@@ -263,6 +272,9 @@ def rgbd_vo_step(
         num_inliers=res.num_inliers,
         num_quads=jnp.sum(q.valid.astype(jnp.int32)),
         tracking_ok=use_est | ~state.initialized,
+        flow_uv_prev=q.uv_lp,
+        flow_uv_curr=q.uv_lc,
+        flow_valid=q.valid & state.initialized,
     )
     return new_state, out
 
@@ -330,5 +342,8 @@ def mono_vo_step(
         num_inliers=res.num_inliers,
         num_quads=jnp.sum(valid.astype(jnp.int32)),
         tracking_ok=use_est | ~state.initialized,
+        flow_uv_prev=uv_prev,
+        flow_uv_curr=uv_curr,
+        flow_valid=valid & state.initialized,
     )
     return new_state, out

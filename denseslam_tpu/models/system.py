@@ -73,6 +73,12 @@ class SLAMSystem:
         # raw scan pose of the last registered keyframe (chunk-mode
         # relative chaining); None until a chunk registers one
         self._chain_scan = None
+        # chunk-mode relocalization state: a qualifying lost streak arms
+        # `_reloc_pending`; `_lost_anchor_nkf` marks how many keyframes
+        # existed when the streak began (later ones carry blackout drift)
+        self._reloc_pending = False
+        self._lost_anchor_nkf = 0
+        self._reloc_extra = None   # reloc delta when no kf anchors it
 
     def process_frame(self, left, right=None, depth=None,
                       timestamp: Optional[float] = None) -> dict:
@@ -130,7 +136,23 @@ class SLAMSystem:
         """Throughput mode: run a frame batch through the batched
         `process_sequence` scan (ONE device program — see its docstring for
         why the host loop costs ~3x), then register every fused keyframe
-        with the backend and run the two-rate backend work between chunks.
+        with the backend and run ONE backend tick for the whole chunk.
+
+        The tick is BATCHED per chunk (round-2 ran it per keyframe,
+        serializing up to 4 BA solves + 4 loop detections + 2 correction
+        programs behind each scan — measured 5.6 s/chunk at 540-frame
+        scale; the reference hides this work in its LocalMapping /
+        LoopClosing threads, SURVEY.md section 2c P1/P2 — batching is the
+        flattened-schedule equivalent). All host<->device traffic is one
+        packed stats fetch; keyframe sketches are computed inside the scan
+        (`signature_device`), and registration math is pure numpy.
+
+        Relocalization runs here too (reference: tracker recovery is
+        always active, DenseSlam.cpp:89-96 + ORB-SLAM2 relocalization): a
+        lost streak >= `reloc_after` arms a pending reloc; once features
+        verify against the keyframe database, the recovered pose corrects
+        the frontier AND the drift-suspect keyframes registered since the
+        blackout began.
 
         Returns the last frame's telemetry plus per-chunk stats arrays."""
         import time as _time
@@ -155,11 +177,11 @@ class SLAMSystem:
         slam.db = db
         slam.frame = frame0 + n
 
-        # ONE fetch per small stats array (each scalar/array readback
-        # pays the full tunnel RTT; the old per-frame np.asarray loop
-        # cost ~19 fetches ≈ 0.5 s per 16-frame chunk)
-        T_all, fused_flags, ok_frames = jax.device_get(
-            (stats["T_wc"], stats["fused"], stats["tracking_ok"]))
+        # ONE packed fetch (each readback pays the full tunnel RTT): poses
+        # + flags + the fused keyframes' retrieval sketches
+        T_all, fused_flags, ok_frames, sigs = jax.device_get(
+            (stats["T_wc"], stats["fused"], stats["tracking_ok"],
+             stats["sig"]))
         fused_any = bool(fused_flags.any())
         import os
         _dbg = bool(os.environ.get("DSL_DEBUG_RESYNC"))
@@ -173,16 +195,13 @@ class SLAMSystem:
         # chunk tail starved loop closure/BA of 1/chunk of the keyframes)
         # by RELATIVE CHAINING: new_pose = (previous keyframe's CURRENT
         # stored pose, i.e. post-BA) @ (raw scan relative motion). Scan
-        # poses later in the batch predate the backend ticks that moved
-        # earlier keyframes; registering them as absolutes makes the
-        # backend's consecutive-keyframe edges encode the optimisation
-        # delta as false motion. Accumulating the per-tick deltas
-        # multiplicatively was tried and is UNSTABLE: each tick's BA
-        # correction feeds the next registration, which BA corrects
-        # again — measured exponential blowup (|dt| 0.1 -> 0.4 -> 1.1 ->
-        # 10.8 -> inf within 10 ticks on the 540-frame drive). Chaining
-        # to the stored pose is self-stabilising: the registration error
-        # never exceeds one inter-keyframe hop.
+        # poses in the batch predate the backend tick; registering them as
+        # absolutes makes the backend's consecutive-keyframe edges encode
+        # the optimisation delta as false motion. Accumulating per-tick
+        # deltas multiplicatively was tried and is UNSTABLE (measured
+        # exponential blowup); chaining to the stored pose is
+        # self-stabilising: the registration error never exceeds one
+        # inter-keyframe hop.
         def _orth(T):
             # project the rotation part back onto SO(3). The chain
             # composes host-side f32 products every keyframe; _inv_se3
@@ -203,8 +222,10 @@ class SLAMSystem:
             out[:3, 3] = -R.T @ t
             return out
 
-        D_run = np.eye(4, dtype=np.float32)
+        j_last = None          # scan index of the last registered keyframe
+        kf_before = [self.backend.num_keyframes] * (n + 1)
         for j in range(n):
+            kf_before[j + 1] = kf_before[j]
             if fused_flags[j]:
                 fid = int(frame0 + j)
                 if self._chain_scan is None or not self.backend.keyframes:
@@ -214,33 +235,103 @@ class SLAMSystem:
                     T_reg = _orth(
                         np.asarray(self.backend.keyframes[-1].T_wc,
                                    np.float32) @ rel)
-                    if _dbg:
-                        Rp = self.backend.keyframes[-1].T_wc[:3, :3]
-                        print(
-                            f"      reg f{fid}: |prev|="
-                            f"{np.abs(self.backend.keyframes[-1].T_wc[:3, 3]).max():.2f}"
-                            f" orthdev={np.abs(Rp @ Rp.T - np.eye(3)).max():.2e}"
-                            f" |rel|={np.abs(rel[:3, 3]).max():.3f}"
-                            f" |scan_j|={np.abs(T_all[j][:3, 3]).max():.2f}",
-                            flush=True)
                 self.backend.add_keyframe(
                     fid, T_reg,
                     jax.tree.map(lambda x: x[j], stats["feats_l"]),
                     jax.tree.map(lambda x: x[j], stats["feats_r"]),
+                    sig=sigs[j],
                 )
                 self._chain_scan = np.asarray(T_all[j], np.float32)
-                self._backend_tick(resync=False)
-                # history anchors to the keyframe's post-tick stored pose
+                j_last = j
+                kf_before[j + 1] += 1
+
+        # ---- lost-streak accounting + chunk-mode relocalization --------
+        streak = self._lost_streak
+        for i in range(n):
+            if not ok_frames[i] and not (frame0 == 0 and i == 0):
+                if streak == 0:
+                    self._lost_anchor_nkf = kf_before[i]
+                streak += 1
+                if self.reloc_after and streak >= self.reloc_after:
+                    self._reloc_pending = True
+            else:
+                streak = 0
+        self._lost_streak = streak
+
+        if (self._reloc_pending and self.reloc_after
+                and self.backend.num_keyframes):
+            T_rec = self.backend.relocalize(
+                jax.tree.map(lambda x: x[n - 1], stats["feats_l"]),
+                jax.tree.map(lambda x: x[n - 1], stats["feats_r"]))
+            if T_rec is not None:
+                # current (drifted) estimate of the last frame, pre-tick
+                if j_last is not None:
+                    C_pre = _orth(
+                        np.asarray(self.backend.keyframes[-1].T_wc,
+                                   np.float32)
+                        @ _inv_se3(_orth(T_all[j_last])))
+                else:
+                    C_pre = np.eye(4, dtype=np.float32)
+                est_last = _orth(C_pre @ T_all[n - 1])
+                D_reloc = _orth(_orth(np.asarray(T_rec, np.float32))
+                                @ _inv_se3(est_last))
+                # left-multiply the drift-suspect keyframes (registered
+                # since the blackout began): intra-group relative edges
+                # are invariant under a common world-side delta
                 kfs = self.backend.keyframes
-                T_stored = (kfs[-1].T_wc
-                            if kfs and kfs[-1].frame_id == fid else T_reg)
+                a0 = min(self._lost_anchor_nkf, len(kfs))
+                for idx in range(a0, len(kfs)):
+                    kfs[idx] = kfs[idx]._replace(
+                        T_wc=_orth(D_reloc @ kfs[idx].T_wc))
+                # the one odometry edge SPANNING the blackout encoded the
+                # constant-velocity guess; recompute it from the corrected
+                # stored poses at low weight
+                if 0 < a0 < len(kfs):
+                    fa, fb = kfs[a0 - 1].frame_id, kfs[a0].frame_id
+                    Ta = _orth(np.asarray(kfs[a0 - 1].T_wc, np.float32))
+                    Tb = _orth(np.asarray(kfs[a0].T_wc, np.float32))
+                    T_ab = _inv_se3(Ta) @ Tb
+                    self.backend.odom_edges = [
+                        e for e in self.backend.odom_edges
+                        if not (e[0] == fa and e[1] == fb)]
+                    self.backend.odom_edges.append((fa, fb, T_ab, 0.3))
+                # motion prior across the jump is garbage
+                slam.fe_state = slam.fe_state._replace(
+                    T_delta_prev=jnp.eye(4, dtype=jnp.float32),
+                    prior_ok=jnp.zeros((), bool))
+                self.num_relocs += 1
+                self._reloc_pending = False
+                self._lost_streak = 0
                 if _dbg:
-                    mv = np.abs(np.asarray(T_stored) - T_reg).max()
-                    print(f"    kf{fid}: |reg_t|="
-                          f"{np.abs(T_reg[:3, 3]).max():.2f} ba_moved={mv:.4f}",
-                          flush=True)
-                D_run = _orth(np.asarray(T_stored, np.float32)
-                              @ _inv_se3(_orth(T_all[j])))
+                    print(f"    RELOC: |D_t|="
+                          f"{np.linalg.norm(D_reloc[:3, 3]):.2f} over "
+                          f"{len(kfs) - a0} kfs", flush=True)
+                if j_last is None:
+                    # no keyframe this chunk anchors the correction; fold
+                    # it into the frontier directly via the history path
+                    self._reloc_extra = D_reloc
+        D_extra = getattr(self, "_reloc_extra", None)
+
+        # ---- ONE backend tick for the whole chunk -----------------------
+        if fused_any:
+            self._chunk_tick()
+
+        # ---- world-side correction from the tick (+ reloc), applied to
+        # the chunk's history and the frontier in one re-anchor ----------
+        D_run = np.eye(4, dtype=np.float32)
+        if j_last is not None:
+            fid_last = int(frame0 + j_last)
+            kfs = self.backend.keyframes
+            T_stored = next(
+                (np.asarray(k.T_wc, np.float32) for k in reversed(kfs)
+                 if k.frame_id == fid_last), None)
+            if T_stored is not None:
+                D_run = _orth(T_stored @ _inv_se3(_orth(T_all[j_last])))
+        elif D_extra is not None:
+            D_run = D_extra
+        self._reloc_extra = None
+
+        for j in range(n):
             slam.pose_history.append((int(frame0 + j), D_run @ T_all[j]))
         T_last = _orth(slam.pose_history[-1][1])
 
@@ -263,8 +354,36 @@ class SLAMSystem:
             chunk_ms=dt,
             num_loops=self.num_loops,
             num_corrections=self.num_corrections,
+            num_relocs=self.num_relocs,
             ba_ms=self.backend.last_ba_ms,
         )
+
+    def _chunk_tick(self) -> None:
+        """Chunk-rate backend work: ONE loop detection, ONE local BA, ONE
+        merged correction pass per chunk — the batched equivalent of the
+        per-keyframe `_backend_tick` cadence. Merging the loop-graph and
+        BA pose updates into a single `apply_pose_updates` also halves the
+        de-fuse/re-fuse correction programs per chunk."""
+        updates: dict = {}
+        if self.loop_every and self.backend.detect_loop() is not None:
+            self.num_loops += 1
+            ids, opt = self.backend.optimize_graph()
+            for f, p in zip(ids, opt):
+                updates[int(f)] = p
+        if self.ba_every and self.backend.num_keyframes >= 2:
+            res = self.backend.local_ba()
+            if res is not None:
+                ids, opt = res
+                for f, p in zip(ids, opt):   # BA refines on top of the
+                    updates[int(f)] = p      # relaxed poses: later wins
+                culled = self.backend.cull_redundant()
+                if culled:
+                    self.slam.purge_keyframes(np.asarray(culled))
+                    self.num_culled += len(culled)
+        if updates:
+            ids = np.fromiter(updates.keys(), np.int64, len(updates))
+            poses = np.stack([updates[int(f)] for f in ids])
+            self.num_corrections += self.slam.apply_pose_updates(ids, poses)
 
     def _backend_tick(self, resync: bool = True) -> np.ndarray:
         """Keyframe-rate backend work: loop closing every `loop_every`

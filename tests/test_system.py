@@ -148,6 +148,48 @@ def test_relocalization_after_lost_tracking():
     assert err < 0.15, err
 
 
+def test_chunk_mode_relocalization_after_blackout():
+    """Chunk-path relocalization (reference: tracker recovery is always
+    active — DenseSlam.cpp:89-96 + ORB-SLAM2 relocalization): a blank-frame
+    blackout inside process_chunk arms a pending reloc; the next chunk that
+    revisits a known view re-locks, corrects the drift-suspect keyframes
+    registered since the blackout began, and re-anchors the frontier."""
+    cfg = tiny_test_config(width=320, height=240, baseline_m=0.25)
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, fusion_db_capacity=8))
+    sys_ = SLAMSystem(cfg, ba_every=0, loop_every=0, reloc_after=2)
+    chunk = 4
+    poses = synthetic.make_trajectory(8, step_m=0.1, yaw_rate=0.0)
+    lefts, rights, _ = synthetic.render_stereo_trajectory(poses, cfg.rig)
+    # phase 1: two clean chunks build the keyframe DB
+    for i in range(0, 8, chunk):
+        out = sys_.process_chunk(lefts[i:i + chunk], rights[i:i + chunk])
+    assert out["tracking_ok"]
+    assert sys_.backend.num_keyframes >= 6
+    # phase 2: a blackout chunk (featureless frames) -> lost streak arms
+    # the pending reloc; blank features cannot verify, so no reloc yet
+    blanks = jnp.zeros_like(lefts[:chunk])
+    out = sys_.process_chunk(blanks, blanks)
+    assert not out["tracking_ok"]
+    assert sys_._reloc_pending
+    assert sys_.num_relocs == 0
+    # phase 3: revisit a known view -> the chunk-path reloc re-locks
+    l2, r2, _ = synthetic.render_stereo_trajectory(
+        np.stack([poses[1]] * chunk), cfg.rig)
+    out = sys_.process_chunk(l2, r2)
+    assert sys_.num_relocs >= 1
+    assert not sys_._reloc_pending
+    err = np.linalg.norm(np.asarray(out["T_wc"])[:3, 3] - poses[1][:3, 3])
+    assert err < 0.15, err
+    # the drift-suspect keyframes were pulled back too: the last stored
+    # keyframe sits near the revisited pose, not where the blackout coast
+    # left it
+    kf_err = np.linalg.norm(
+        np.asarray(sys_.backend.keyframes[-1].T_wc)[:3, 3]
+        - poses[1][:3, 3])
+    assert kf_err < 0.3, kf_err
+
+
 def test_resync_propagates_delta_not_teleport():
     """The backend pose back-channel must apply the optimisation DELTA to
     the frontend's CURRENT pose (which, in chunk mode, is several frames
