@@ -199,6 +199,11 @@ class BackendConfig:
     pg_iters: int = 20
     max_pg_nodes: int = 256
     max_pg_edges: int = 512
+    # loop-retrieval signature buffer capacity (device-resident sketch
+    # stack scored by one chunked MXU matmul per detect_loop/relocalize;
+    # host scoring is O(K) GFLOPs and ~seconds at 1k+ keyframes). Must be
+    # a multiple of 128.
+    retrieval_capacity: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)

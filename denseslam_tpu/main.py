@@ -41,9 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_color", action="store_true")
     # depth source
     p.add_argument("--sgm_backend", default="xla",
-                   choices=["xla", "pallas", "pallas_fused"],
-                   help="SGM aggregation backend for --compute_depth "
-                        "(pallas_fused: single-kernel aggregation+WTA)")
+                   choices=["xla", "pallas"],
+                   help="SGM aggregation backend for --compute_depth")
     p.add_argument("--compute_depth", action="store_true",
                    help="compute depth with the on-device SGM stereo instead "
                         "of reading precomputed depth/disparity")

@@ -182,6 +182,21 @@ class Backend:
                 _verify_loop, rig=cfg.rig, fcfg=cfg.frontend
             )
         )
+        # device-resident retrieval sketch stack: scored by one chunked
+        # MXU matmul (host set-overlap scoring is ~5 GFLOP/query and a
+        # 300 MB scratch at 1k keyframes — measured seconds; the device
+        # path is one dispatch + an 8 KB fetch regardless of K)
+        cap = cfg.backend.retrieval_capacity
+        assert cap % 128 == 0, "retrieval_capacity must be a multiple of 128"
+        self._sig_cap = cap
+        self._sig_buf: Optional[jax.Array] = None   # (cap, M, D), lazy
+        self._sig_valid = np.zeros(cap, bool)
+        self._sig_slot: dict = {}                   # frame_id -> slot
+        self._sig_next = 0
+        self._sig_free: List[int] = []
+        self._sig_set = jax.jit(lambda buf, i, s: buf.at[i].set(s))
+        self._score_fn = jax.jit(functools.partial(
+            _retrieval_scores_device, chunk=128))
 
     # -- keyframe registry -------------------------------------------------
 
@@ -206,7 +221,40 @@ class Backend:
             self.odom_edges.append(
                 (self.keyframes[-1].frame_id, frame_id, T_rel, 1.0))
         self.keyframes.append(kf)
+        self._sig_push(frame_id, kf.signature)
         return len(self.keyframes) - 1
+
+    def _sig_push(self, frame_id: int, sig: np.ndarray) -> None:
+        if self._sig_free:
+            slot = self._sig_free.pop()
+        elif self._sig_next < self._sig_cap:
+            slot = self._sig_next
+            self._sig_next += 1
+        else:       # capacity exhausted: newest keyframes go unindexed
+            return  # (retrieval falls back to the host path for them)
+        if self._sig_buf is None:
+            m, d = sig.shape
+            self._sig_buf = jnp.zeros((self._sig_cap, m, d), jnp.float32)
+        self._sig_buf = self._sig_set(
+            self._sig_buf, slot, jnp.asarray(sig, jnp.float32))
+        self._sig_valid[slot] = True
+        self._sig_slot[frame_id] = slot
+
+    def _scores_for(self, q_sig: np.ndarray,
+                    cands: List[Keyframe]) -> np.ndarray:
+        """Retrieval scores of a query sketch against a candidate keyframe
+        list — device MXU path when every candidate is slot-indexed, host
+        numpy otherwise."""
+        if (self._sig_buf is not None
+                and all(k.frame_id in self._sig_slot for k in cands)):
+            scores = np.asarray(self._score_fn(
+                jnp.asarray(q_sig, jnp.float32), self._sig_buf,
+                jnp.asarray(self._sig_valid)))
+            return np.array(
+                [scores[self._sig_slot[k.frame_id]] for k in cands],
+                np.float32)
+        sigs = np.stack([k.signature for k in cands])
+        return _retrieval_scores(q_sig, sigs)
 
     @property
     def num_keyframes(self) -> int:
@@ -327,6 +375,10 @@ class Backend:
         idx = next(
             i for i, kf in enumerate(self.keyframes) if kf.frame_id == fid)
         self.keyframes.pop(idx)
+        slot = self._sig_slot.pop(fid, None)
+        if slot is not None:
+            self._sig_valid[slot] = False
+            self._sig_free.append(slot)
         # splice odometry through the removed node: a->c + c->b => a->b
         in_e = [e for e in self.odom_edges if e[1] == fid]
         out_e = [e for e in self.odom_edges if e[0] == fid]
@@ -358,8 +410,7 @@ class Backend:
             return None
         qi = len(self.keyframes) - 1
         q = self.keyframes[qi]
-        sigs = np.stack([k.signature for k in self.keyframes[: qi - min_gap]])
-        sims = _retrieval_scores(q.signature, sigs)
+        sims = self._scores_for(q.signature, self.keyframes[: qi - min_gap])
         for ci in np.argsort(-sims)[:top_k]:
             ci = int(ci)
             if sims[ci] < min_similarity:
@@ -392,8 +443,7 @@ class Backend:
         if not self.keyframes:
             return None
         sig = _signature(feats_l)
-        sigs = np.stack([k.signature for k in self.keyframes])
-        sims = _retrieval_scores(sig, sigs)
+        sims = self._scores_for(sig, self.keyframes)
         for ci in np.argsort(-sims)[:top_k]:
             ci = int(ci)
             if sims[ci] < min_similarity:
@@ -501,6 +551,28 @@ def signature_device(feats: Features) -> jax.Array:
     if k < _SIG_M:
         d = jnp.pad(d, ((0, _SIG_M - k), (0, 0)))
     return d.astype(jnp.float32)
+
+
+def _retrieval_scores_device(q: jax.Array, buf: jax.Array,
+                             valid: jax.Array, *, chunk: int,
+                             tau: float = _SIG_TAU) -> jax.Array:
+    """Set-overlap retrieval scores on device: (M, D) query sketch against
+    the (CAP, M, D) sketch stack -> (CAP,) scores, -1 at empty slots.
+    One MXU matmul per `chunk` candidates via lax.map — the (N, M, M)
+    similarity cube never materialises beyond one chunk (8 MB at
+    chunk=128, M=256), so capacity scales without an O(CAP * M^2) buffer."""
+    cap, m, d = buf.shape
+    qv = jnp.linalg.norm(q, axis=1) > 0.5
+    nq = jnp.maximum(jnp.sum(qv.astype(jnp.int32)), 1).astype(jnp.float32)
+
+    def score_chunk(c):
+        sim = jnp.einsum("md,nkd->nmk", q, c,
+                         preferred_element_type=jnp.float32)
+        hit = (jnp.max(sim, axis=2) > tau) & qv[None, :]
+        return jnp.sum(hit, axis=1).astype(jnp.float32) / nq
+
+    s = jax.lax.map(score_chunk, buf.reshape(cap // chunk, chunk, m, d))
+    return jnp.where(valid, s.reshape(cap), -1.0)
 
 
 def _retrieval_scores(q_sig: np.ndarray, sigs: np.ndarray,

@@ -70,6 +70,9 @@ class SLAMSystem:
         self.num_culled = 0
         self._lost_streak = 0
         self._seq_fn = None
+        # per-phase wall-time accounting for process_chunk (seconds)
+        from collections import defaultdict
+        self.phase_s = defaultdict(float)
         # raw scan pose of the last registered keyframe (chunk-mode
         # relative chaining); None until a chunk registers one
         self._chain_scan = None
@@ -79,6 +82,81 @@ class SLAMSystem:
         self._reloc_pending = False
         self._lost_anchor_nkf = 0
         self._reloc_extra = None   # reloc delta when no kf anchors it
+
+    def _get_seq_fn(self):
+        if self._seq_fn is None:
+            import functools
+
+            from .dense_slam import process_sequence
+            self._seq_fn = jax.jit(
+                functools.partial(process_sequence, cfg=self.cfg),
+                donate_argnums=(1, 2),
+            )
+        return self._seq_fn
+
+    def warmup(self, chunk: int = 0) -> float:
+        """Compile every program this system can dispatch mid-run.
+
+        The reference keeps all its CUDA kernels resident from startup;
+        here first-use compiles otherwise land INSIDE the drive (measured
+        on the remote TPU compile service: correction replay 22 s, loop
+        verification 4.6 s, the chunk scan's first windows ~110+68 s) and
+        crush steady-state fps. `chunk` > 0 also warms the chunk-scan
+        program at that batch size. Returns elapsed seconds."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        cfg = self.cfg
+        be = self.backend
+        slam = self.slam
+        from ..ops import posegraph
+        from .backend import _stack_features
+        from .frontend import _empty_features
+
+        empty = _empty_features(cfg)
+        # local BA window solve (+ problem build)
+        K = cfg.backend.window_keyframes
+        fl = _stack_features([empty] * K)
+        T = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (K, 1, 1))
+        problem = be._build(fl, fl, T, fixed=jnp.arange(K) >= 0)
+        res = be._ba(problem)
+        jax.device_get((res.initial_cost, res.final_cost))
+        # loop / reloc geometric verification
+        T_rel, n_inl, ok = be._verify(empty, empty, empty, empty,
+                                      jax.random.PRNGKey(0))
+        # pose-graph relaxation (static caps)
+        g = posegraph.make_graph(cfg.backend)
+        g = be._pg(g)
+        # correction replay + purge on the live map (all-False masks:
+        # semantically a no-op — the compile is the point)
+        from .dense_slam import make_fusion_db
+        db0 = make_fusion_db(cfg)
+        c = cfg.pipeline.fusion_db_capacity
+        opt_T = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (c, 1, 1))
+        no = jnp.zeros((c,), bool)
+        if slam._sharded is not None:
+            _, _, num = slam._sharded.correct(
+                slam.submaps.active, db0, opt_T, no)
+            slam._sharded.purge(slam.submaps.active, db0, no)
+        else:
+            _, _, num = slam._correct(slam.submaps.active, db0, opt_T, no)
+            slam._purge(slam.submaps.active, db0, no)
+        # sync everything above via scalar fetches (block_until_ready is
+        # not a reliable barrier on the tunneled runtime)
+        jax.device_get((n_inl, g.T_wc[0, 0, 0], num))
+        if chunk and slam._sharded is None:
+            # the chunk-scan program on throwaway state (m/db are donated)
+            from . import frontend as fe
+            from ..ops import tsdf as tsdf_ops
+            intr = cfg.rig.intr
+            lefts = jnp.zeros((chunk, intr.height, intr.width), jnp.float32)
+            st0 = fe.init_frontend(cfg, seed=99)
+            m0 = tsdf_ops.make_map(cfg.tsdf)
+            fids = jnp.arange(chunk, dtype=jnp.int32)
+            _, _, _, stats = self._get_seq_fn()(
+                st0, m0, make_fusion_db(cfg), lefts, lefts, fids)
+            jax.device_get(stats["T_wc"][0])
+        return _time.perf_counter() - t0
 
     def process_frame(self, left, right=None, depth=None,
                       timestamp: Optional[float] = None) -> dict:
@@ -162,26 +240,24 @@ class SLAMSystem:
         t0 = _time.perf_counter()
         n = lefts.shape[0]
         slam = self.slam
-        if self._seq_fn is None:
-            import functools
-            self._seq_fn = jax.jit(
-                functools.partial(process_sequence, cfg=self.cfg),
-                donate_argnums=(1, 2),
-            )
+        seq_fn = self._get_seq_fn()
         frame0 = slam.frame          # authoritative (checkpoint-restored)
         fids = jnp.arange(frame0, frame0 + n, dtype=jnp.int32)
-        st, m, db, stats = self._seq_fn(
+        st, m, db, stats = seq_fn(
             slam.fe_state, slam.submaps.active, slam.db, lefts, rights, fids)
         slam.fe_state = st
         slam.submaps.active = m
         slam.db = db
         slam.frame = frame0 + n
+        self.phase_s["scan_dispatch"] += _time.perf_counter() - t0
 
         # ONE packed fetch (each readback pays the full tunnel RTT): poses
         # + flags + the fused keyframes' retrieval sketches
+        tf = _time.perf_counter()
         T_all, fused_flags, ok_frames, sigs = jax.device_get(
             (stats["T_wc"], stats["fused"], stats["tracking_ok"],
              stats["sig"]))
+        self.phase_s["scan_wait_fetch"] += _time.perf_counter() - tf
         fused_any = bool(fused_flags.any())
         import os
         _dbg = bool(os.environ.get("DSL_DEBUG_RESYNC"))
@@ -222,6 +298,7 @@ class SLAMSystem:
             out[:3, 3] = -R.T @ t
             return out
 
+        t_reg = _time.perf_counter()
         j_last = None          # scan index of the last registered keyframe
         kf_before = [self.backend.num_keyframes] * (n + 1)
         for j in range(n):
@@ -245,7 +322,10 @@ class SLAMSystem:
                 j_last = j
                 kf_before[j + 1] += 1
 
+        self.phase_s["register"] += _time.perf_counter() - t_reg
+
         # ---- lost-streak accounting + chunk-mode relocalization --------
+        t_rl = _time.perf_counter()
         streak = self._lost_streak
         for i in range(n):
             if not ok_frames[i] and not (frame0 == 0 and i == 0):
@@ -311,10 +391,13 @@ class SLAMSystem:
                     # it into the frontier directly via the history path
                     self._reloc_extra = D_reloc
         D_extra = getattr(self, "_reloc_extra", None)
+        self.phase_s["reloc"] += _time.perf_counter() - t_rl
 
         # ---- ONE backend tick for the whole chunk -----------------------
+        t_tk = _time.perf_counter()
         if fused_any:
             self._chunk_tick()
+        self.phase_s["tick"] += _time.perf_counter() - t_tk
 
         # ---- world-side correction from the tick (+ reloc), applied to
         # the chunk's history and the frontier in one re-anchor ----------
@@ -364,12 +447,16 @@ class SLAMSystem:
         per-keyframe `_backend_tick` cadence. Merging the loop-graph and
         BA pose updates into a single `apply_pose_updates` also halves the
         de-fuse/re-fuse correction programs per chunk."""
+        import time as _time
         updates: dict = {}
+        t0 = _time.perf_counter()
         if self.loop_every and self.backend.detect_loop() is not None:
             self.num_loops += 1
             ids, opt = self.backend.optimize_graph()
             for f, p in zip(ids, opt):
                 updates[int(f)] = p
+        self.phase_s["tick_loop"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         if self.ba_every and self.backend.num_keyframes >= 2:
             res = self.backend.local_ba()
             if res is not None:
@@ -380,10 +467,13 @@ class SLAMSystem:
                 if culled:
                     self.slam.purge_keyframes(np.asarray(culled))
                     self.num_culled += len(culled)
+        self.phase_s["tick_ba"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         if updates:
             ids = np.fromiter(updates.keys(), np.int64, len(updates))
             poses = np.stack([updates[int(f)] for f in ids])
             self.num_corrections += self.slam.apply_pose_updates(ids, poses)
+        self.phase_s["tick_apply"] += _time.perf_counter() - t0
 
     def _backend_tick(self, resync: bool = True) -> np.ndarray:
         """Keyframe-rate backend work: loop closing every `loop_every`

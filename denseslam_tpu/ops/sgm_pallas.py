@@ -16,8 +16,18 @@ consumer reduce). INSIDE the full pipeline it LOSES ~3x (bench_full 20.8
 each intermediate aggregate) to fully materialise in HBM, where XLA fuses
 the cost-volume producer and the WTA consumer into the scan dataflow.
 Default is therefore sgm_backend="xla"; this backend remains for
-standalone aggregation workloads and as the template for a future fully
-fused (cost+aggregate+WTA) kernel.
+standalone aggregation workloads.
+
+A fully fused aggregation+WTA kernel (sgm_backend="pallas_fused") was
+built, validated bitwise in interpret mode, and REMOVED (round 3): its
+rolling right-argmin construct (per-column lane-shift min buffers on
+(H, D) tiles, unrolled) crashes the TPU Mosaic compiler in every
+formulation tried — concat-shift AND pltpu.roll — independent of program
+size (probe: scripts/probes/exp_fused_sgm.py). A future fused kernel
+must obtain the right-argmin differently (packed value-lane keys
+min-reduced per sheared block, or out-of-kernel); with SGM only ~4 ms
+amortized per frame at keyframe-rate gating, the residual prize did not
+justify carrying a backend that refuses to run on the target hardware.
 
 Reference semantics target: classic 4-path SGM cost aggregation (the
 reference consumes precomputed ELAS/DispNet disparity from disk —
@@ -165,142 +175,6 @@ def _direction_call(cost, acc, *, axis, rev, p1, p2, interpret):
         scratch_shapes=[pltpu.VMEM(carry_shape, cost.dtype)],
         interpret=interpret,
     )(*args)
-
-
-def _final_h_kernel(cost_ref, acc_ref, best_ref, cmin_ref, c0_ref, c2_ref,
-                    bestr_ref, carry, mval, marg, *, p1, p2, w_real, n):
-    """Final R2L pass fused with the WTA consumer.
-
-    Per column (right-to-left): one SGM recurrence step, add the
-    accumulated three other directions (the full 4-path sum exists only
-    in registers), and immediately reduce it to the per-pixel maps the
-    disparity tail needs — argmin/min (WTA), the two subpixel
-    neighbour taps, and the RIGHT-image argmin. The right argmin uses a
-    rolling (H, D) buffer: lane j tracks the running min for pixel
-    x - j, shifting one lane per column, so cost_R(x, d) = cost_L(x+d, d)
-    is resolved with elementwise mins — no shear, no volume re-read.
-    Arrival order is d descending, so `<=` keeps the LAST tie = lowest
-    d: exactly jnp.argmin's first-occurrence rule in the XLA tail."""
-    dt = cost_ref.dtype
-    hp, wc, d = cost_ref.shape
-    big = jnp.float32(_BIG)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        carry[...] = jnp.zeros_like(carry)
-        mval[...] = jnp.full_like(mval, big)
-        marg[...] = jnp.zeros_like(marg)
-
-    p1c = jnp.asarray(p1, dt)
-    p2c = jnp.asarray(p2, dt)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (hp, d), 1)
-    base = (n - 1 - pl.program_id(0)) * wc
-    zero = jnp.float32(0)
-    prev = carry[...]
-    mv = mval[...]
-    ma = marg[...]
-    for w in range(wc - 1, -1, -1):
-        new = _step(prev, cost_ref[:, w, :], p1c, p2c)
-        prev = new
-        # The WTA/tap/right-argmin tail runs in f32 REGARDLESS of the
-        # volume dtype: i1 masks born from bf16 (16-bit-tiled) compares
-        # applied to i32/f32 (32-bit-tiled) values need a bitwidth
-        # relayout Mosaic cannot do (kernel dies with "non-singleton
-        # logical dimension is replicated in destination..." or crashes
-        # the compile helper outright). bf16→f32 is exact, the 4-path sum
-        # is still taken in the volume dtype first (XLA-tail parity), so
-        # results are unchanged.
-        final = (new + acc_ref[:, w, :]).astype(jnp.float32)
-        cmin = jnp.min(final, axis=-1, keepdims=True)
-        # broadcast COMPARES hit a Mosaic relayout bug ("non-singleton
-        # logical dimension is replicated in destination...") — broadcast
-        # arithmetic then compare-with-scalar lowers fine and is exact:
-        # final - cmin <= 0 iff final == min; lane - best == ±1 iff
-        # lane == best ± 1.
-        is_min = (final - cmin) <= zero
-        best = jnp.min(jnp.where(is_min, lane, jnp.int32(d)),
-                       axis=-1, keepdims=True)
-        ld = lane - best
-        c0 = jnp.sum(jnp.where(ld == -1, final, zero), axis=-1,
-                     dtype=jnp.float32)
-        c2 = jnp.sum(jnp.where(ld == 1, final, zero), axis=-1,
-                     dtype=jnp.float32)
-        # output maps are TRANSPOSED (W, H): Mosaic needs block last dims
-        # (8, 128)-divisible or full — (WC, H) has a full last dim, and a
-        # column-of-the-image write becomes a contiguous row write
-        best_ref[w, :] = best[:, 0]
-        cmin_ref[w, :] = cmin[:, 0]
-        c0_ref[w, :] = c0
-        c2_ref[w, :] = c2
-        # rolling right-argmin: zero-pad columns past the real width carry
-        # BIG so they never win (parity with the XLA shear's BIG fill)
-        cand = jnp.where(base + w < w_real, final, big)
-        mv = jnp.concatenate(
-            [mv[:, 1:], jnp.full((hp, 1), big, jnp.float32)], axis=1)
-        ma = jnp.concatenate(
-            [ma[:, 1:], jnp.zeros((hp, 1), jnp.int32)], axis=1)
-        better = cand <= mv
-        mv = jnp.where(better, cand, mv)
-        ma = jnp.where(better, lane, ma)
-        bestr_ref[w, :] = ma[:, 0]
-    carry[...] = prev
-    mval[...] = mv
-    marg[...] = ma
-
-
-def sgm_wta_pallas(cost: jax.Array, p1: float, p2: float,
-                   *, interpret: bool = False):
-    """Fully fused 4-path SGM + WTA: returns the per-pixel maps
-    (best i32, cmin f32, c0 f32, c2 f32, best_r i32), each (H, W) —
-    the aggregated volume never materialises. The first three directions
-    run as the accumulating per-direction kernels; the last (horizontal
-    right-to-left) fuses the recurrence with the WTA/subpixel/right-argmin
-    reductions (`_final_h_kernel`). Output maps feed
-    ops.stereo._disparity_from_maps — identical tie rules and tap
-    semantics to the XLA volume tail (bitwise-equal disparity on
-    integer-valued f32 costs)."""
-    h, w, d = cost.shape
-    wc = _wc(cost.dtype)
-    wp = -(-w // wc) * wc
-    if wp != w:
-        cost = jnp.pad(cost, ((0, 0), (0, wp - w), (0, 0)))
-    run = functools.partial(_direction_call, p1=p1, p2=p2,
-                            interpret=interpret)
-    a = run(cost, None, axis=0, rev=False)
-    a = run(cost, a, axis=0, rev=True)
-    a = run(cost, a, axis=1, rev=False)
-
-    n = wp // wc
-    blk3 = pl.BlockSpec((h, wc, d), lambda j: (0, n - 1 - j, 0),
-                        memory_space=pltpu.VMEM)
-
-    def map_spec():
-        # maps come back transposed (W, H) — see _final_h_kernel
-        return pl.BlockSpec((wc, h), lambda j: (n - 1 - j, 0),
-                            memory_space=pltpu.VMEM)
-
-    kern = functools.partial(_final_h_kernel, p1=p1, p2=p2, w_real=w, n=n)
-    best, cmin, c0, c2, best_r = pl.pallas_call(
-        kern,
-        grid=(n,),
-        in_specs=[blk3, blk3],
-        out_specs=(map_spec(), map_spec(), map_spec(), map_spec(),
-                   map_spec()),
-        out_shape=(
-            jax.ShapeDtypeStruct((wp, h), jnp.int32),
-            jax.ShapeDtypeStruct((wp, h), jnp.float32),
-            jax.ShapeDtypeStruct((wp, h), jnp.float32),
-            jax.ShapeDtypeStruct((wp, h), jnp.float32),
-            jax.ShapeDtypeStruct((wp, h), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((h, d), cost.dtype),      # SGM carry (volume dtype)
-            pltpu.VMEM((h, d), jnp.float32),     # rolling right-min values
-            pltpu.VMEM((h, d), jnp.int32),       # rolling right-min argmin
-        ],
-        interpret=interpret,
-    )(cost, a)
-    return (best[:w].T, cmin[:w].T, c0[:w].T, c2[:w].T, best_r[:w].T)
 
 
 def sgm_aggregate_pallas(cost: jax.Array, p1: float, p2: float,

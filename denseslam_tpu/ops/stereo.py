@@ -155,9 +155,7 @@ def sgm_aggregate(cost: jax.Array, cfg: StereoConfig) -> jax.Array:
 def _disparity_from_maps(best, cmin, c0, c2, best_r, d: int,
                          cfg: StereoConfig):
     """Disparity assembly from per-pixel WTA maps: parabolic subpixel +
-    left-right consistency + validity gates. Shared tail of the XLA
-    volume path (disparity_from_cost) and the fused pallas path
-    (ops/sgm_pallas.sgm_wta_pallas)."""
+    left-right consistency + validity gates (disparity_from_cost's tail)."""
     h, w = best.shape
     denom = c0 - 2.0 * cmin + c2
     sub = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / denom, 0.0)
@@ -225,27 +223,8 @@ def compute_depth(left: jax.Array, right: jax.Array, rig: StereoRig,
     cost = cost_volume(left, right, cfg)
     if cfg.cost_dtype == "bfloat16":
         cost = cost.astype(jnp.bfloat16)
-    if cfg.use_sgm and cfg.sgm_backend == "pallas_fused":
-        # fully fused aggregation + WTA: the aggregated volume never
-        # materialises; only (H, W) maps come back from the kernel
-        if jax.default_backend() not in ("cpu",):
-            # The fused kernel is interpret-mode exact but the compiled
-            # combination still crashes the TPU Mosaic compile helper
-            # (bisect in progress — see ROADMAP.md / sgm_pallas.py). Fail
-            # loudly instead of wedging the shared remote-compile service.
-            raise RuntimeError(
-                "sgm_backend='pallas_fused' does not yet compile on real "
-                "TPU (Mosaic compile-helper crash; see ROADMAP.md). Use "
-                "'xla' (default) or run on CPU/interpret for validation.")
-        from .sgm_pallas import sgm_wta_pallas
-        maps = sgm_wta_pallas(
-            cost, cfg.sgm_p1, cfg.sgm_p2,
-            interpret=jax.default_backend() == "cpu")
-        disp, valid = _disparity_from_maps(
-            *maps, cost.shape[-1], cfg)
-    else:
-        if cfg.use_sgm:
-            cost = sgm_aggregate(cost, cfg)
-        disp, valid = disparity_from_cost(cost, cfg)
+    if cfg.use_sgm:
+        cost = sgm_aggregate(cost, cfg)
+    disp, valid = disparity_from_cost(cost, cfg)
     depth = disparity_to_depth(disp, rig, min_depth_m, max_depth_m)
     return depth, valid & (depth > 0)

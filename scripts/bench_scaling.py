@@ -96,6 +96,81 @@ def run_matrix_cpu(frames: int, out_json: str) -> None:
         json.dump(rec, f, indent=1)
 
 
+def run_matrix_pinned(frames: int, out_json: str) -> None:
+    """Core-PINNED localhost scaling matrix (VERDICT r2 item 6): every
+    process gets a DISJOINT physical core set via taskset, so virtual
+    devices in different processes no longer share compute — the
+    cleanest weak-scaling proxy this single-host environment admits.
+
+    On a 4-core host:
+      * A = 1 proc x 2 dev, cores {0,1}          (per-process baseline)
+      * B = 2 proc x 2 dev, cores {0,1} | {2,3}  (adds a process with its
+        OWN cores: weak scaling — per-process resources constant)
+      * C = 1 proc x 4 dev, cores {0,1,2,3}      (same TOTAL resources as
+        B in one process: isolates the jax.distributed + Gloo cost)
+
+      eff_weak_pinned  = fps/chip(B) / fps/chip(A)  -> BASELINE >=0.7
+      eff_fixed_pinned = fps/chip(B) / fps/chip(C)
+    """
+    me = os.path.abspath(__file__)
+
+    def one(cores: str, ndev: int, extra: list, log: str) -> dict:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={ndev}").strip()
+        cmd = (["taskset", "-c", cores, sys.executable, me, "--cpu",
+                f"--frames={frames}"] + extra)
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=1200)
+        with open(log, "w") as f:
+            f.write(out.stdout + out.stderr)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    def two_proc_pinned() -> dict:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=2").strip()
+        base = [sys.executable, me, "--cpu", f"--frames={frames}",
+                "--coordinator=localhost:8477", "--num-processes=2"]
+        p1 = subprocess.Popen(
+            ["taskset", "-c", "2,3"] + base + ["--process-id=1"], env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        out = subprocess.run(
+            ["taskset", "-c", "0,1"] + base + ["--process-id=0"], env=env,
+            capture_output=True, text=True, timeout=1200)
+        p1.wait(timeout=120)
+        with open("/tmp/scale_2x2_pinned.log", "w") as f:
+            f.write(out.stdout + out.stderr)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    rA = one("0,1", 2, [], "/tmp/scale_1x2_pinned.log")
+    rC = one("0-3", 4, [], "/tmp/scale_1x4_pinned.log")
+    rB = two_proc_pinned()
+    rec = {
+        "metric": "cpu_mesh_scaling_pinned",
+        "frames": frames,
+        "methodology": "taskset-pinned disjoint core sets per process "
+                       "(4 physical cores): A=1procx2dev@{0,1}, "
+                       "B=2procx2dev@{0,1}|{2,3}, C=1procx4dev@{0-3}; "
+                       "weak = B/A (per-process resources constant), "
+                       "fixed = B/C (same total resources, multi-process "
+                       "runtime cost)",
+        "fps_per_chip_A_1proc_2dev": rA["value"],
+        "fps_per_chip_B_2proc_2dev": rB["value"],
+        "fps_per_chip_C_1proc_4dev": rC["value"],
+        "blocks_agree": (rA["blocks"] == rC["blocks"] == rB["blocks"]),
+        "eff_weak_pinned": round(rB["value"] / rA["value"], 3),
+        "eff_fixed_pinned": round(rB["value"] / rC["value"], 3),
+    }
+    print(json.dumps(rec))
+    with open(out_json, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -113,11 +188,17 @@ def main() -> None:
     ap.add_argument("--matrix-cpu", action="store_true",
                     help="run the localhost 1x4 / 1x8 / 2x4 matrix and "
                          "write --json")
+    ap.add_argument("--matrix-pinned", action="store_true",
+                    help="run the taskset-pinned disjoint-core matrix "
+                         "(clean weak-scaling proxy) and write --json")
     ap.add_argument("--json", default="SCALING.json")
     args = ap.parse_args()
 
     if args.matrix_cpu:
         run_matrix_cpu(args.frames, args.json)
+        return
+    if args.matrix_pinned:
+        run_matrix_pinned(args.frames, args.json)
         return
 
     if args.cpu:
