@@ -177,11 +177,13 @@ class Backend:
         self._pg = jax.jit(
             functools.partial(posegraph.optimize, cfg=cfg.backend)
         )
-        self._verify = jax.jit(
-            functools.partial(
-                _verify_loop, rig=cfg.rig, fcfg=cfg.frontend
-            )
-        )
+        # all top-k loop candidates verified in ONE program + ONE packed
+        # fetch (serial per-candidate verification paid ~3 programs x 3
+        # tunnel readbacks per detect_loop — measured ~1 s/chunk on the
+        # 544-frame drive)
+        self._verify_batch = jax.jit(jax.vmap(
+            functools.partial(_verify_loop, rig=cfg.rig, fcfg=cfg.frontend),
+            in_axes=(None, None, 0, 0, 0)))
         # device-resident retrieval sketch stack: scored by one chunked
         # MXU matmul (host set-overlap scoring is ~5 GFLOP/query and a
         # 300 MB scratch at 1k keyframes — measured seconds; the device
@@ -411,22 +413,31 @@ class Backend:
         qi = len(self.keyframes) - 1
         q = self.keyframes[qi]
         sims = self._scores_for(q.signature, self.keyframes[: qi - min_gap])
-        for ci in np.argsort(-sims)[:top_k]:
-            ci = int(ci)
-            if sims[ci] < min_similarity:
-                break                       # sorted: the rest are lower
-            cand = self.keyframes[ci]
-            T_rel, n_inl, ok = self._verify(
-                q.feats_l, q.feats_r, cand.feats_l, cand.feats_r,
-                jax.random.PRNGKey(qi * 31 + ci),
-            )
-            if not bool(ok) or int(n_inl) < min_inliers:
+        order = [int(ci) for ci in np.argsort(-sims)[:top_k]
+                 if sims[ci] >= min_similarity]
+        if not order:
+            return None
+        # verify ALL shortlisted candidates in one vmapped program (pad by
+        # repeating the first), then pick the best passing one on host
+        # from a single packed fetch
+        padded = order + [order[0]] * (top_k - len(order))
+        cl = _stack_features(
+            [self.keyframes[ci].feats_l for ci in padded])
+        cr = _stack_features(
+            [self.keyframes[ci].feats_r for ci in padded])
+        keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.asarray([qi * 31 + ci for ci in padded]))
+        T_rel, n_inl, ok = jax.device_get(self._verify_batch(
+            q.feats_l, q.feats_r, cl, cr, keys))
+        for k, ci in enumerate(order):
+            if not bool(ok[k]) or int(n_inl[k]) < min_inliers:
                 continue
+            cand = self.keyframes[ci]
             # T_rel maps cand-frame points to query-frame: T_cand_query = ?
             # estimate_stereo_motion treats (cand)=prev, (query)=curr:
             # p_curr = T_delta p_prev  =>  T_wq = T_wc_cand @ inv(T_delta)
             # edge i->j with T_ij = T_i^-1 T_j, i=cand, j=query:
-            T_ij = np.asarray(lie.inv_T(jnp.asarray(T_rel)))
+            T_ij = np.asarray(lie.inv_T(jnp.asarray(T_rel[k])))
             self.loop_edges.append((cand.frame_id, q.frame_id, T_ij, 10.0))
             return qi, ci
         return None
@@ -444,20 +455,27 @@ class Backend:
             return None
         sig = _signature(feats_l)
         sims = self._scores_for(sig, self.keyframes)
-        for ci in np.argsort(-sims)[:top_k]:
-            ci = int(ci)
-            if sims[ci] < min_similarity:
-                break
-            cand = self.keyframes[ci]
-            T_rel, n_inl, ok = self._verify(
-                feats_l, feats_r, cand.feats_l, cand.feats_r,
-                jax.random.PRNGKey(7000 + len(self.keyframes) * 31 + ci),
-            )
-            if not bool(ok) or int(n_inl) < min_inliers:
+        order = [int(ci) for ci in np.argsort(-sims)[:top_k]
+                 if sims[ci] >= min_similarity]
+        if not order:
+            return None
+        padded = order + [order[0]] * (top_k - len(order))
+        cl = _stack_features(
+            [self.keyframes[ci].feats_l for ci in padded])
+        cr = _stack_features(
+            [self.keyframes[ci].feats_r for ci in padded])
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(
+            [7000 + len(self.keyframes) * 31 + ci for ci in padded]))
+        T_rel, n_inl, ok = jax.device_get(self._verify_batch(
+            feats_l, feats_r, cl, cr, keys))
+        for k, ci in enumerate(order):
+            if not bool(ok[k]) or int(n_inl[k]) < min_inliers:
                 continue
+            cand = self.keyframes[ci]
             # query pose: p_query = T_rel p_cand => T_wq = T_wc_cand inv(T_rel)
             return np.asarray(
-                jnp.asarray(cand.T_wc) @ lie.inv_T(jnp.asarray(T_rel)))
+                jnp.asarray(cand.T_wc)
+                @ lie.inv_T(jnp.asarray(T_rel[k])))
         return None
 
     def optimize_graph(self) -> Tuple[np.ndarray, np.ndarray]:

@@ -121,9 +121,20 @@ class SLAMSystem:
         problem = be._build(fl, fl, T, fixed=jnp.arange(K) >= 0)
         res = be._ba(problem)
         jax.device_get((res.initial_cost, res.final_cost))
-        # loop / reloc geometric verification
-        T_rel, n_inl, ok = be._verify(empty, empty, empty, empty,
-                                      jax.random.PRNGKey(0))
+        # loop / reloc geometric verification (batched: detect_loop top-3,
+        # relocalize top-5 are distinct batch shapes)
+        for k in (3, 5):
+            ck = _stack_features([empty] * k)
+            keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(k))
+            T_rel, n_inl, ok = be._verify_batch(empty, empty, ck, ck, keys)
+        # retrieval sketch buffer + device scorer
+        from .backend import _SIG_M
+        d_dim = empty.desc.shape[1]
+        be._score_fn(jnp.zeros((_SIG_M, d_dim), jnp.float32),
+                     jnp.zeros((be._sig_cap, _SIG_M, d_dim), jnp.float32),
+                     jnp.zeros((be._sig_cap,), bool))
+        be._sig_set(jnp.zeros((be._sig_cap, _SIG_M, d_dim), jnp.float32),
+                    0, jnp.zeros((_SIG_M, d_dim), jnp.float32))
         # pose-graph relaxation (static caps)
         g = posegraph.make_graph(cfg.backend)
         g = be._pg(g)
