@@ -227,6 +227,15 @@ class SplatParams:
     surface_eta: float = 0.8
     z_bits: int = 12
     fill_levels: int = 3
+    # occlusion-aware fill: override hits more than up*(1+rel)+abs behind
+    # the min-pooled neighbourhood (background bleed-through between a
+    # near surface's point splats — see ops/splat.py SplatConfig; 0 = off).
+    # Measured on a GT-pose/GT-depth 160-frame street map vs the exact
+    # raycaster: AbsRel 0.2475 -> 0.0954 at IDENTICAL coverage (the raw
+    # splat left 11.7% of pixels >1 m BEHIND the true surface —
+    # scripts/probes/exp_splat_bleed.py).
+    bleed_rel: float = 0.15
+    bleed_abs: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -253,6 +262,13 @@ class PipelineConfig:
     # each step is a sphere-tracing correction from trilinear TSDF samples
     # (~30 ms/step at KITTI res). 0 = raw splat estimate.
     splat_refine: int = 0
+    # TSDF-consistency prune after refinement (refine_depth prune_sdf):
+    # invalidate pixels whose refined point samples |tsdf| above this (or
+    # unobserved space). The pull-push hole fill fabricates depth in
+    # disocclusions; those fabrications are exactly the pixels that can't
+    # be reconciled with the field — pruning turns multi-metre tail
+    # errors into honest misses. 0 = keep everything.
+    splat_prune_sdf: float = 0.0
     # Device-memory budget for the dense map across ALL submaps, in MB
     # (-1 = unbounded). When the summed HBM footprint (voxel pools +
     # fusion DBs, true array bytes) exceeds it, the oldest non-active

@@ -631,8 +631,11 @@ class DenseSLAM:
                 surface_eta=cfg.splat.surface_eta,
                 z_bits=cfg.splat.z_bits,
                 fill_levels=cfg.splat.fill_levels,
+                bleed_rel=cfg.splat.bleed_rel,
+                bleed_abs=cfg.splat.bleed_abs,
             )
             refine = cfg.pipeline.splat_refine
+            prune = cfg.pipeline.splat_prune_sdf
 
             def _splat(m, T_wc):
                 rc = splat_ops.splat_render(m, T_wc, cfg.rig.intr, cfg.tsdf,
@@ -640,7 +643,8 @@ class DenseSLAM:
                 if refine > 0:
                     d = splat_ops.refine_depth(
                         m, rc.depth, rc.mask, T_wc, cfg.rig.intr, cfg.tsdf,
-                        steps=refine)
+                        steps=refine, prune_sdf=prune)
+                    rc = rc._replace(mask=d > 0)
                     rc = _regeom(rc, d, T_wc)
                 return rc
 

@@ -44,12 +44,27 @@ class SplatConfig(NamedTuple):
     surface_eta: float = 0.8      # |tsdf| threshold for "near surface"
     z_bits: int = 12              # z-buffer depth quantisation bits
     fill_levels: int = 3          # pull-push hole-fill pyramid depth
+    # occlusion-aware fill (bleed suppression): a hit whose depth exceeds
+    # the min-pooled neighbourhood depth by more than
+    # `up * bleed_rel + bleed_abs` is background BLEED-THROUGH — a ray
+    # slipping between a near surface's point splats and winning the
+    # z-buffer with whatever lies behind (measured: raw splat MAE 2.6 m
+    # vs the exact raycast's 0.25 m on the same GT-pose map, errors
+    # almost all on the far side). Such hits are overridden with the
+    # neighbourhood foreground estimate (refine_depth then snaps them to
+    # the true surface, or prune invalidates them honestly). 0 rel+abs
+    # disables the override (pure hole fill).
+    bleed_rel: float = 0.0
+    bleed_abs: float = 0.0
 
 
-def _fill_holes(depth: jax.Array, levels: int) -> jax.Array:
+def _fill_holes(depth: jax.Array, levels: int,
+                bleed_rel: float = 0.0, bleed_abs: float = 0.0) -> jax.Array:
     """Pull-push hole fill: voxel splats land ~fx*voxel/z px apart, so near
     surfaces leave holes between splats; fill them from min-pooled coarser
-    levels (purely vectorised image ops). depth 0 = miss."""
+    levels (purely vectorised image ops). depth 0 = miss. With
+    bleed_rel/bleed_abs > 0, hits FAR BEHIND the neighbourhood min are
+    overridden too (see SplatConfig.bleed_rel)."""
     if levels <= 0:
         return depth
     pyr = [depth]
@@ -61,6 +76,7 @@ def _fill_holes(depth: jax.Array, levels: int) -> jax.Array:
         dmin = jnp.min(jnp.min(big, axis=3), axis=1)
         d = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
         pyr.append(d)
+    suppress = bleed_rel > 0.0 or bleed_abs > 0.0
     for lv in range(levels - 1, -1, -1):
         tgt = pyr[lv]
         up = jnp.repeat(jnp.repeat(pyr[lv + 1], 2, axis=0), 2, axis=1)
@@ -69,7 +85,11 @@ def _fill_holes(depth: jax.Array, levels: int) -> jax.Array:
         if ph or pw:
             up = jnp.pad(up, ((0, max(ph, 0)), (0, max(pw, 0))), mode="edge")
         up = up[: tgt.shape[0], : tgt.shape[1]]
-        pyr[lv] = jnp.where(tgt > 0, tgt, up)
+        keep = tgt > 0
+        if suppress:
+            keep = keep & ~((up > 0)
+                            & (tgt > up * (1.0 + bleed_rel) + bleed_abs))
+        pyr[lv] = jnp.where(keep, tgt, up)
     return pyr[0]
 
 
@@ -208,7 +228,7 @@ def splat_render(
     cflat = jnp.where(won, col[wv], 0)
 
     depth = dflat.reshape(h, w)
-    depth = _fill_holes(depth, sc.fill_levels)
+    depth = _fill_holes(depth, sc.fill_levels, sc.bleed_rel, sc.bleed_abs)
     hit = depth > 0
 
     # ---- 7. per-pixel geometry (vectorised, no gathers) ---------------------

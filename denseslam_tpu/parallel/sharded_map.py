@@ -189,6 +189,12 @@ def _raycast_local(m, T_wc, *, local_cfg: TsdfConfig, intr: Intrinsics,
             surface_eta=splat_params.surface_eta,
             z_bits=splat_params.z_bits,
             fill_levels=splat_params.fill_levels,
+            # NOTE: per-shard bleed suppression would also suppress
+            # legitimate cross-shard occlusions (each shard sees only its
+            # owned blocks; the true foreground may live on another
+            # shard). The pmin combine across shards already keeps the
+            # nearest hit, which kills most cross-surface bleed — leave
+            # the in-shard override off.
         )
         rc = splat_ops.splat_render(m, T_wc, intr, local_cfg, sc)
     else:

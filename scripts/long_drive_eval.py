@@ -93,6 +93,10 @@ def main() -> None:
             voxel_size_m=0.06, trunc_dist_m=0.24, table_slots=1 << 17,
             max_visible_blocks=1 << 13, max_alloc_per_frame=1 << 13,
             max_depth_m=40.0, sampler="pallas",
+            # quarters the allocation dedupe sorts; blocks project >=3 px
+            # within max_depth so stride 2 cannot skip one (bench.py note).
+            # storage stays float32: correction de-fusion must be exact.
+            alloc_subsample=2,
         ),
         stereo=StereoConfig(cost_dtype="bfloat16"),
         decay=VoxelDecayParams(enabled=True, min_decay_age=30,

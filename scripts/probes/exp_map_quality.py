@@ -7,11 +7,14 @@ removes pose error entirely (fusion at GT poses) and splits the rest:
 
   A) GT pose + GT depth,  splat render   -> pure fusion+render error
   B) GT pose + SGM depth, splat render   -> + stereo-depth noise
-  A_oracle) config A rendered by the reference-exact sphere-trace
+  A_oracle) config A's map rendered by the reference-exact sphere-trace
      raycast (1 frame; 15+ s/frame)      -> splat-render error isolated
 
 Same scene/config as scripts/long_drive_eval.py (full KITTI res, decay +
-slide-window on, keyframe_every=4 fusion cadence, eval during the run).
+slide-window on, keyframe_every=4 cadence, eval during the run). Fusion
+runs through `fuse_sequence` batches (the production scan path — a
+standalone per-frame fuse jit wedges the remote compiler for 45+ min;
+scan-form programs compile fine).
 """
 
 from __future__ import annotations
@@ -35,11 +38,14 @@ from denseslam_tpu.config import (SlideWindowParams, StereoConfig,
                                   VoxelDecayParams)
 from denseslam_tpu.eval import depth_metrics
 from denseslam_tpu.io import synthetic
+from denseslam_tpu.models.dense_slam import fuse_sequence, make_fusion_db
 from denseslam_tpu.ops import raycast as rc_ops
 from denseslam_tpu.ops import splat as splat_ops
 from denseslam_tpu.ops import stereo as stereo_ops
 from denseslam_tpu.ops import tsdf as tsdf_ops
 from denseslam_tpu.utils.camera import Intrinsics, StereoRig
+
+BATCH = 8   # keyframes per fuse_sequence dispatch
 
 
 def main():
@@ -59,6 +65,10 @@ def main():
                                max_decay_weight=2),
         slide_window=SlideWindowParams(enabled=True, max_age=60),
     )
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline,
+                                          fusion_db_capacity=8))
     tc = cfg.tsdf
     sp = cfg.splat
     scfg = splat_ops.SplatConfig(
@@ -70,15 +80,10 @@ def main():
                                         closure_frames=0)
     scene = synthetic.loop_scene(gt)
 
-    @jax.jit
-    def fuse(m, depth, gray, T):
-        m, slots, live = tsdf_ops.allocate_for_frame(m, depth, T, intr, tc)
-        m = tsdf_ops.integrate(m, slots, live, depth,
-                               tsdf_ops.pack_gray(gray), T, intr, tc)
-        m = tsdf_ops.decay_and_slide(m, cfg.decay.max_decay_weight,
-                                     cfg.decay.min_decay_age,
-                                     cfg.slide_window.max_age)
-        return tsdf_ops.advance_frame(m)
+    fuse_batch = jax.jit(
+        lambda m, db, d, g, T, f: fuse_sequence(m, db, d, g, T, f, cfg),
+        donate_argnums=(0, 1),
+    )
 
     @jax.jit
     def splat(m, T):
@@ -89,28 +94,36 @@ def main():
         return stereo_ops.compute_depth(l, r, rig, cfg.stereo,
                                         max_depth_m=tc.max_depth_m)
 
+    kf_ts = list(range(0, frames, 4))          # keyframe_every=4 cadence
+
     def run(depth_source: str):
         m = tsdf_ops.make_map(tc)
+        db = make_fusion_db(cfg)
         accs = []
-        for t in range(0, frames, 4):          # keyframe_every=4 cadence
-            T = jnp.asarray(gt[t])
+        for b0 in range(0, len(kf_ts) - BATCH + 1, BATCH):
+            ts = kf_ts[b0: b0 + BATCH]
+            Ts = jnp.asarray(np.stack([gt[t] for t in ts]))
             if depth_source == "gt":
-                gray, depth = synthetic.render_view(T, intr, scene)
-                depth = jnp.where(depth > tc.max_depth_m, 0.0, depth)
+                grays, depths = synthetic.render_trajectory(
+                    np.stack([gt[t] for t in ts]), intr, scene)
+                depths = jnp.where(depths > tc.max_depth_m, 0.0, depths)
             else:
-                l, r, _ = synthetic.render_stereo(T, rig, scene)
-                gray = l
-                depth, valid = sgm(l, r)
-                depth = jnp.where(valid, depth, 0.0)
-            m = fuse(m, depth, gray, T)
-            if t and t % 24 == 0:              # eval during the run
-                rc = splat(m, T)
-                _, gtd = synthetic.render_view(T, intr, scene)
-                g = np.array(gtd)
-                g[g > tc.max_depth_m] = 0.0
-                accs.append(depth_metrics.depth_metrics(
-                    np.asarray(rc.depth), g, min_depth=0.5,
-                    max_depth=tc.max_depth_m))
+                l, r, _ = synthetic.render_stereo_trajectory(
+                    np.stack([gt[t] for t in ts]), rig, scene)
+                dd, vv = jax.vmap(sgm)(l, r)
+                grays = l
+                depths = jnp.where(vv, dd, 0.0)
+            fids = jnp.asarray(ts, jnp.int32)
+            m, db = fuse_batch(m, db, depths, grays, Ts, fids)
+            # eval during the run at the batch's last keyframe pose
+            t = ts[-1]
+            rc = splat(m, jnp.asarray(gt[t]))
+            _, gtd = synthetic.render_view(jnp.asarray(gt[t]), intr, scene)
+            g = np.array(gtd)
+            g[g > tc.max_depth_m] = 0.0
+            accs.append(depth_metrics.depth_metrics(
+                np.asarray(rc.depth), g, min_depth=0.5,
+                max_depth=tc.max_depth_m))
         agg = {k: float(np.nanmean([a[k] for a in accs])) for k in accs[0]}
         return m, agg
 
@@ -123,7 +136,7 @@ def main():
           f"{ {k: round(v, 4) for k, v in dm_b.items()} }", flush=True)
 
     # oracle sphere-trace render of config A's final map, 1 frame
-    t_eval = frames - 8
+    t_eval = kf_ts[-4]
     T = jnp.asarray(gt[t_eval])
     rc = rc_ops.raycast(m_gt, T, intr, tc)
     _, gtd = synthetic.render_view(T, intr, scene)
@@ -135,7 +148,6 @@ def main():
     print(f"A_oracle (GT map, sphere-trace raycast, 1 frame @t={t_eval}): "
           f"{ {k: round(float(v), 4) for k, v in dm_o.items()} }",
           flush=True)
-    # same frame with splat, for a like-for-like single-frame comparison
     rc_s = splat(m_gt, T)
     dm_s = depth_metrics.depth_metrics(np.asarray(rc_s.depth), g,
                                        min_depth=0.5,
@@ -143,6 +155,44 @@ def main():
     print(f"A_splat  (same frame, splat):    "
           f"{ {k: round(float(v), 4) for k, v in dm_s.items()} }",
           flush=True)
+
+    # ---- renderer lever sweep on the same map/frame --------------------
+    def show(name, d):
+        dm = depth_metrics.depth_metrics(np.asarray(d), g, min_depth=0.5,
+                                         max_depth=tc.max_depth_m)
+        print(f"{name}: absrel={dm['absrel']:.4f} mae={dm['mae']:.3f} "
+              f"d1_25={dm['d1_25']:.3f} cov={dm['coverage']:.3f} "
+              f"sqrel={dm['sqrel']:.3f}", flush=True)
+
+    nofill = splat_ops.SplatConfig(
+        max_blocks=sp.max_blocks, max_voxels=sp.max_voxels,
+        surface_eta=sp.surface_eta, z_bits=sp.z_bits, fill_levels=0)
+    rc_nf = jax.jit(lambda m, T: splat_ops.splat_render(
+        m, T, intr, tc, nofill))(m_gt, T)
+    show("A_nofill (fill_levels=0)       ", rc_nf.depth)
+
+    for steps, prune in ((2, 0.0), (2, 0.5), (3, 0.3)):
+        d_r = jax.jit(lambda m, d, k, T, s=steps, p=prune:
+                      splat_ops.refine_depth(m, d, k, T, intr, tc,
+                                             steps=s, prune_sdf=p))(
+            m_gt, rc_s.depth, rc_s.mask, T)
+        show(f"A_refine{steps}_prune{prune}        ", d_r)
+
+    # occlusion-aware fill (bleed suppression) +- refine/prune
+    for br, babs in ((0.15, 0.5), (0.08, 0.25)):
+        bs = splat_ops.SplatConfig(
+            max_blocks=sp.max_blocks, max_voxels=sp.max_voxels,
+            surface_eta=sp.surface_eta, z_bits=sp.z_bits,
+            fill_levels=sp.fill_levels, bleed_rel=br, bleed_abs=babs)
+        rc_b = jax.jit(lambda m, T, c=bs: splat_ops.splat_render(
+            m, T, intr, tc, c))(m_gt, T)
+        show(f"A_bleedfill r{br} a{babs}      ", rc_b.depth)
+        for steps, prune in ((2, 0.5), (2, 0.0)):
+            d_r = jax.jit(lambda m, d, k, T, s=steps, p=prune:
+                          splat_ops.refine_depth(m, d, k, T, intr, tc,
+                                                 steps=s, prune_sdf=p))(
+                m_gt, rc_b.depth, rc_b.mask, T)
+            show(f"A_bleedfill+refine{steps}_prune{prune}", d_r)
     print(f"total {time.perf_counter() - t0:.1f} s")
 
 

@@ -133,3 +133,22 @@ def test_pipeline_splat_refine_flag():
         both = (dd > 0) & (gt > 0)
         outs[key] = np.median(np.abs(dd[both] - gt[both]))
     assert outs["refined"] <= outs["raw"] + 1e-6, outs
+
+
+def test_fill_holes_bleed_override():
+    """Occlusion-aware fill: hits far BEHIND the min-pooled neighbourhood
+    are background bleed-through (rays slipping between a near surface's
+    point splats) and get overridden with the foreground estimate;
+    plain fill (rel=abs=0) must leave them untouched."""
+    d = np.full((16, 16), 10.0, np.float32)   # background won the z-buffer
+    d[::2, ::2] = 2.0                          # sparse foreground splats
+    filled = np.asarray(splat_ops._fill_holes(
+        jnp.asarray(d), 3, bleed_rel=0.15, bleed_abs=0.5))
+    assert filled[1, 1] < 3.0, filled[1, 1]    # overridden to foreground
+    raw = np.asarray(splat_ops._fill_holes(jnp.asarray(d), 3))
+    assert raw[1, 1] == 10.0                   # plain fill keeps real hits
+    # a CONSISTENT surface (no discontinuity) is untouched by suppression
+    smooth = np.full((16, 16), 5.0, np.float32)
+    out = np.asarray(splat_ops._fill_holes(
+        jnp.asarray(smooth), 3, bleed_rel=0.15, bleed_abs=0.5))
+    np.testing.assert_array_equal(out, smooth)
