@@ -57,6 +57,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--storage_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="TSDF pool storage dtype")
+    # renderer (reference: ITMVisualisationEngine previews)
+    p.add_argument("--renderer", default="splat",
+                   choices=["splat", "march"],
+                   help="preview/ICP renderer: forward splat (fast) or "
+                        "bounded sphere tracing (reference-exact, ~100x "
+                        "slower on TPU)")
+    p.add_argument("--splat_refine", type=int, default=0,
+                   help="sub-voxel sphere-trace refinement steps after "
+                        "splat (~30 ms/step at KITTI res)")
+    p.add_argument("--splat_prune_sdf", type=float, default=0.0,
+                   help="invalidate refined pixels sampling |tsdf| above "
+                        "this (kills fabricated fill depth; needs "
+                        "--splat_refine > 0)")
+    p.add_argument("--no_bleed_fill", action="store_true",
+                   help="disable the occlusion-aware fill override "
+                        "(background bleed-through suppression)")
     # regularisation (reference param.yaml voxel_decay / slide_window blocks)
     p.add_argument("--voxel_decay", action="store_true")
     p.add_argument("--min_decay_age", type=int, default=30)
@@ -125,9 +141,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def build_config(args, rig):
     from .config import (OnlineCorrectionParams, PipelineConfig,
-                         PostProcessParams, SlideWindowParams, StereoConfig,
-                         SystemConfig, TsdfConfig, VoxelDecayParams,
-                         WeightParams)
+                         PostProcessParams, SlideWindowParams, SplatParams,
+                         StereoConfig, SystemConfig, TsdfConfig,
+                         VoxelDecayParams, WeightParams)
 
     tsdf = TsdfConfig(
         voxel_size_m=args.voxel_size,
@@ -162,7 +178,13 @@ def build_config(args, rig):
             use_external_odometry=not args.internal_odometry,
             new_submap_threshold=args.new_submap_threshold,
             map_memory_budget_mb=args.map_memory_budget_mb,
+            renderer=args.renderer,
+            splat_refine=args.splat_refine,
+            splat_prune_sdf=args.splat_prune_sdf,
         ),
+        splat=(dataclasses.replace(SplatParams(), bleed_rel=0.0,
+                                   bleed_abs=0.0)
+               if args.no_bleed_fill else SplatParams()),
     )
 
 
