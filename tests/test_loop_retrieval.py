@@ -98,3 +98,32 @@ def test_no_false_loop_on_novel_place(cfg, scene):
     fl, fr = _feats_at(cfg, scene, Tq)
     bk.add_keyframe(5, np.asarray(Tq), fl, fr)
     assert bk.detect_loop(min_gap=2, min_inliers=25) is None
+
+
+def test_signature_device_matches_host():
+    """signature_device (the in-scan sketch) must agree with the host
+    `_signature` (identical top-k selection + normalisation), so chunk
+    registration and per-frame registration build the same retrieval
+    database."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from denseslam_tpu.models.backend import _signature, signature_device
+    from denseslam_tpu.ops.features import Features
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 32
+    feats = Features(
+        uv=jnp.asarray(rng.uniform(0, 100, (n, 2)).astype(np.float32)),
+        cls=jnp.zeros((n,), jnp.int32),
+        desc=jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)),
+        score=jnp.asarray(rng.uniform(0.1, 5.0, (n,)).astype(np.float32)),
+        valid=jnp.asarray(rng.uniform(size=n) > 0.2),
+    )
+    host = _signature(feats)
+    dev = np.asarray(signature_device(feats))
+    assert host.shape == dev.shape
+    # identical descriptor SETS (row order may differ on score ties)
+    hs = host[np.lexsort(host.T)]
+    ds = dev[np.lexsort(dev.T)]
+    np.testing.assert_allclose(hs, ds, atol=1e-5)

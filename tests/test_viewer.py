@@ -87,3 +87,22 @@ def test_viewer_freeview_and_record_roundtrip(tmp_path):
         assert b"freeview" in _get(v.port, "/")
     finally:
         v.close()
+
+
+def test_draw_flow_renders_vectors():
+    """Scene-flow pane (reference GUI matched-flow overlay,
+    DenseSLAMGUI.cpp:216-220): valid prev->curr matches draw as
+    line+dot; invalid ones leave the image untouched."""
+    import numpy as np
+
+    from denseslam_tpu.io.viewer import draw_flow
+
+    img = np.zeros((40, 60), np.float32)
+    uv_prev = np.array([[10.0, 10.0], [50.0, 30.0]])
+    uv_curr = np.array([[20.0, 12.0], [40.0, 28.0]])
+    valid = np.array([True, False])
+    out = draw_flow(img, uv_prev, uv_curr, valid)
+    assert out.shape == (40, 60, 3) and out.dtype == np.uint8
+    assert out[:20, 5:25].any(), "valid match vector not drawn"
+    # the invalid match's endpoint stays black
+    assert not out[26:30, 38:42].any()
