@@ -21,6 +21,7 @@ geometrically via the stereo-VO solver.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -180,9 +181,16 @@ class Backend:
         # all top-k loop candidates verified in ONE program + ONE packed
         # fetch (serial per-candidate verification paid ~3 programs x 3
         # tunnel readbacks per detect_loop — measured ~1 s/chunk on the
-        # 544-frame drive)
+        # 544-frame drive). Verification runs HALF the VO hypothesis
+        # budget: a true loop pair shares a wide-baseline but still-rigid
+        # view, where 128 3-point hypotheses on >=40 required inliers is
+        # ample (the VO tracker's 256 covers 2 px precision on minimal
+        # inlier sets; verification only needs a coarse accept + the GN
+        # refit polishes the edge).
+        fcfg_v = dataclasses.replace(
+            cfg.frontend, ransac_iters=max(64, cfg.frontend.ransac_iters // 2))
         self._verify_batch = jax.jit(jax.vmap(
-            functools.partial(_verify_loop, rig=cfg.rig, fcfg=cfg.frontend),
+            functools.partial(_verify_loop, rig=cfg.rig, fcfg=fcfg_v),
             in_axes=(None, None, 0, 0, 0)))
         # device-resident retrieval sketch stack: scored by one chunked
         # MXU matmul (host set-overlap scoring is ~5 GFLOP/query and a

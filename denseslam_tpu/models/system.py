@@ -461,7 +461,13 @@ class SLAMSystem:
         import time as _time
         updates: dict = {}
         t0 = _time.perf_counter()
-        if self.loop_every and self.backend.detect_loop() is not None:
+        self._tick_count = getattr(self, "_tick_count", 0) + 1
+        # loop detection every `loop_every` TICKS in chunk mode (running
+        # it every chunk paid a ~1 s/chunk verification program on the
+        # 544-frame drive, re-verifying the same non-loop candidates; the
+        # reference's LoopClosing thread similarly lags keyframe insertion)
+        if (self.loop_every and self._tick_count % self.loop_every == 0
+                and self.backend.detect_loop() is not None):
             self.num_loops += 1
             ids, opt = self.backend.optimize_graph()
             for f, p in zip(ids, opt):
