@@ -242,6 +242,12 @@ class SplatParams:
 class PipelineConfig:
     """Fusion DB windows etc (reference: DenseSlam.h:429-435)."""
     fusion_db_capacity: int = 64      # fused keyframe DB (for de-fusion)
+    # Store the DB as mm-uint16 depth + uint8 gray (the reference's own
+    # int16-mm convention, DepthProvider.h:57-98). Fusion consumes the
+    # dequantized values, so de-fusion replay stays exact; ~5x fewer DB
+    # bytes rides every chunk-scan dispatch (per-dispatch overhead on the
+    # tunneled runtime scales with argument bytes).
+    fusion_db_quantized: bool = True
     keyframe_every: int = 1           # fuse every k-th keyframe (lowfreq_exp)
     # Spawn a new submap when the visible fraction of the active map drops
     # below this (reference F_originalBlocksThreshold, default -1 = disabled,

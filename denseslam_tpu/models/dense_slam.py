@@ -45,9 +45,15 @@ class FusionDB(NamedTuple):
     """Ring buffer of fused keyframes — the de-fusion replay source.
 
     The reference stores full RGB+depth per fused keyframe
-    (DenseSlam.h:46-60); we do the same with a static capacity."""
-    depth: jax.Array     # f32 (C, H, W)
-    gray: jax.Array      # f32 (C, H, W) — for color re-fusion
+    (DenseSlam.h:46-60); we do the same with a static capacity. Storage
+    is mm-uint16 depth + uint8 gray by default (the reference's own
+    int16-mm depth convention, DepthProvider.h:57-98): fusion consumes
+    the DEQUANTIZED values, so de-fusion replay stays bit-exact, and the
+    DB shrinks ~5x — it rides every chunk-scan dispatch as a donated
+    argument, and per-dispatch overhead on the tunneled runtime scales
+    with argument bytes (probes/exp_dispatch_overhead.py)."""
+    depth: jax.Array     # u16 mm (C, H, W)  (f32 m when not quantized)
+    gray: jax.Array      # u8 (C, H, W) — for color re-fusion (f32 ditto)
     T_fused: jax.Array   # f32 (C, 4, 4) pose used at fusion time
     frame_id: jax.Array  # i32 (C,) global frame number, -1 = empty
     valid: jax.Array     # bool (C,)
@@ -57,9 +63,10 @@ class FusionDB(NamedTuple):
 def make_fusion_db(cfg: SystemConfig) -> FusionDB:
     c = cfg.pipeline.fusion_db_capacity
     h, w = cfg.rig.intr.height, cfg.rig.intr.width
+    quant = cfg.pipeline.fusion_db_quantized
     return FusionDB(
-        depth=jnp.zeros((c, h, w), jnp.float32),
-        gray=jnp.zeros((c, h, w), jnp.float32),
+        depth=jnp.zeros((c, h, w), jnp.uint16 if quant else jnp.float32),
+        gray=jnp.zeros((c, h, w), jnp.uint8 if quant else jnp.float32),
         T_fused=jnp.tile(jnp.eye(4, dtype=jnp.float32), (c, 1, 1)),
         frame_id=jnp.full((c,), -1, jnp.int32),
         valid=jnp.zeros((c,), bool),
@@ -67,8 +74,37 @@ def make_fusion_db(cfg: SystemConfig) -> FusionDB:
     )
 
 
+def db_quantize_depth(db: FusionDB, depth: jax.Array) -> jax.Array:
+    """Depth as fusion must consume it for the DB replay to be exact:
+    mm-rounded when the DB stores uint16 (<=0.5 mm change; the reference
+    itself fuses int16-mm depth), identity otherwise."""
+    if db.depth.dtype == jnp.uint16:
+        q = jnp.clip(jnp.round(depth * 1e3), 0, 65535)
+        return q.astype(jnp.float32) * 1e-3
+    return depth
+
+
+def db_depth(db: FusionDB, slot) -> jax.Array:
+    """Replay-side depth of a DB slot (dequantized)."""
+    d = db.depth[slot]
+    if d.dtype == jnp.uint16:
+        return d.astype(jnp.float32) * 1e-3
+    return d
+
+
+def db_gray(db: FusionDB, slot) -> jax.Array:
+    g = db.gray[slot]
+    if g.dtype == jnp.uint8:
+        return g.astype(jnp.float32)
+    return g
+
+
 def db_push(db: FusionDB, depth, gray, T_wc, frame_id) -> FusionDB:
     i = db.head
+    if db.depth.dtype == jnp.uint16:
+        depth = jnp.clip(jnp.round(depth * 1e3), 0, 65535).astype(jnp.uint16)
+        # pack_gray truncates to int, so u8 truncation replays exactly
+        gray = jnp.clip(gray, 0, 255).astype(jnp.uint8)
     return FusionDB(
         depth=db.depth.at[i].set(depth),
         gray=db.gray.at[i].set(gray),
@@ -131,6 +167,8 @@ def fuse_keyframe(
     tc = cfg.tsdf
     if cfg.pipeline.bilateral_filter:
         depth = bilateral_filter_depth(depth)
+    # fuse what the DB will replay (mm quantisation — exact de-fusion)
+    depth = db_quantize_depth(db, depth)
     color = tsdf_ops.pack_gray(gray) if tc.fuse_color else None
     m, slots, mask = tsdf_ops.allocate_for_frame(m, depth, T_wc, intr, tc)
     m = tsdf_ops.integrate(m, slots, mask, depth, color, T_wc, intr, tc)
@@ -283,8 +321,8 @@ def online_correction(
 
         def apply(ops):
             m, db = ops
-            depth = db.depth[slot]
-            color = tsdf_ops.pack_gray(db.gray[slot])
+            depth = db_depth(db, slot)
+            color = tsdf_ops.pack_gray(db_gray(db, slot))
             T_old = db.T_fused[slot]
             T_new = opt_T[slot]
             # DEINTEGRATE at the fused pose (DenseSlam.cpp:390-393)
@@ -345,8 +383,8 @@ def purge_culled(
 
         def apply(ops):
             m, db = ops
-            depth = db.depth[slot]
-            color = tsdf_ops.pack_gray(db.gray[slot])
+            depth = db_depth(db, slot)
+            color = tsdf_ops.pack_gray(db_gray(db, slot))
             T_old = db.T_fused[slot]
             m2, s, k = tsdf_ops.allocate_for_frame(
                 m, depth, T_old, intr, tc, key_filter=key_filter)
@@ -821,7 +859,13 @@ class DenseSLAM:
             t0 = _time.perf_counter()
             TIMERS.tic("fusion")
             if self._sharded is not None:
-                m = self._sharded.fuse(self.submaps.active, depth, left, T_wc)
+                # fuse the mm-quantized depth so the DB replay is exact
+                if self.db.depth.dtype == jnp.uint16:
+                    depth = jax.jit(lambda d: jnp.clip(
+                        jnp.round(d * 1e3), 0, 65535).astype(jnp.float32)
+                        * 1e-3)(depth)
+                m = self._sharded.fuse(self.submaps.active, depth, left,
+                                       T_wc)
                 self.db = jax.jit(db_push)(self.db, depth, left, T_wc,
                                            jnp.int32(self.frame))
             else:
