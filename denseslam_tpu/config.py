@@ -260,6 +260,14 @@ class PipelineConfig:
     # "mono" — monocular VO with ground-plane scale; fusion only happens
     # on frames where a depth image is supplied.
     sensor: str = "stereo"
+    # Sharded-map allocation strategy (parallel/sharded_map.py):
+    # "exchange" — each shard key-gens its own image-row slab, dedupes
+    # locally, and routes keys to their owners with one small all_to_all
+    # (divides the key-gen + dedupe-sort work that "replicated" repeats
+    # on every shard — the weak-scaling residual found in round 3);
+    # "replicated" — every shard computes the full frame's keys and keeps
+    # its owned subset (zero communication).
+    parallel_alloc: str = "exchange"
     # Renderer for previews / ICP model: "splat" (forward surface splat,
     # the TPU-native fast path) or "march" (bounded sphere tracing —
     # reference-exact but ~100x slower on this hardware).

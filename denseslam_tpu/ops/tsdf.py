@@ -131,17 +131,26 @@ def touched_block_keys(
     T_wc: jax.Array,
     intr: Intrinsics,
     cfg: TsdfConfig,
+    row0=None,
 ) -> jax.Array:
     """Packed keys of blocks in the truncation band of each depth sample —
-    (k*H*W/s^2,) int32, EMPTY_KEY where invalid. Fully SoA."""
+    (k*H*W/s^2,) int32, EMPTY_KEY where invalid. Fully SoA.
+
+    row0 (optional, traced int32 ok): when given, `depth` is an ALREADY
+    alloc-subsampled ROW SLAB whose first row is subsampled row `row0` of
+    the full image — the seam that lets the sharded map divide key
+    generation across devices (parallel/sharded_map.py exchange alloc)."""
     s = cfg.alloc_subsample
-    if s > 1:
-        depth = depth[::s, ::s]
+    if row0 is None:
+        if s > 1:
+            depth = depth[::s, ::s]
+        row0 = 0
     h, w = depth.shape
     mu = cfg.trunc_dist_m
     block_m = cfg.block_size_m
     inv_block = 1.0 / block_m
-    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * float(s)
+    v = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+         + jnp.asarray(row0, jnp.float32)) * float(s)
     u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * float(s)
     dirx = (u - intr.cx) / intr.fx
     diry = (v - intr.cy) / intr.fy
@@ -187,6 +196,19 @@ def allocate_for_frame(
     if key_filter is not None:
         keys = key_filter(keys)
     uniq, umask, total = vhash.unique_keys(keys, cfg.max_visible_blocks)
+    return allocate_keys(m, uniq, umask, total, cfg)
+
+
+def allocate_keys(
+    m: MapState,
+    uniq: jax.Array,           # (max_visible_blocks,) deduplicated keys
+    umask: jax.Array,          # (max_visible_blocks,) bool
+    total: jax.Array,          # unique count BEFORE the cap (overflow stat)
+    cfg: TsdfConfig,
+) -> Tuple[MapState, jax.Array, jax.Array]:
+    """Insert pre-deduplicated keys (allocate_for_frame minus key-gen) —
+    entry point for callers that produced the frame's unique key set some
+    other way (the sharded map's owner-routed key exchange)."""
     table, slots, fresh = vhash.insert_keys(m.table, uniq, umask, cfg.probe_len)
     live = umask & (slots >= 0)
 

@@ -110,14 +110,63 @@ def _psum_counters(m, old_overflow, old_decayed):
     )
 
 
+def _alloc_exchange(m, depth, T_wc, *, local_cfg: TsdfConfig,
+                    intr: Intrinsics, n_devices: int):
+    """Owner-routed sharded allocation (runs under shard_map).
+
+    The "replicated" alloc repeats the FULL frame's key-gen and dedupe
+    sorts on every shard — with zero-comm ownership filtering, N shards
+    divide only the integrate/pool phases (measured eff_weak 0.635,
+    SCALING_pinned.json). Here each shard instead:
+
+      1. key-gens its own row slab of the subsampled depth (1/N work;
+         slabs overlap at the ragged tail — duplicates dedupe away),
+      2. dedupes the slab's keys locally (1/N-sized sort),
+      3. routes the unique keys to their owners with ONE (N, cap) int32
+         `all_to_all` (~N*32 KB — rides ICI, dwarfed by the sorts saved),
+      4. dedupes the received keys (N*cap ≪ k*H*W/s² full key list) and
+         inserts into its local table.
+
+    Produces exactly the owned block set of the replicated path: every
+    generated key reaches its owner; the final dedupe collapses
+    cross-slab duplicates."""
+    from ..ops import hash as vhash
+    dev = jax.lax.axis_index(MAP_AXIS)
+    s = local_cfg.alloc_subsample
+    dsub = depth[::s, ::s] if s > 1 else depth
+    hs = dsub.shape[0]
+    slab = max(1, -(-hs // n_devices))
+    row0 = jnp.minimum(dev * slab, hs - slab).astype(jnp.int32)
+    dslab = jax.lax.dynamic_slice_in_dim(dsub, row0, slab, axis=0)
+    keys = tsdf_ops.touched_block_keys(dslab, T_wc, intr, local_cfg,
+                                       row0=row0)
+    cap = local_cfg.max_visible_blocks
+    uniq, umask, _ = vhash.unique_keys(keys, cap)
+    owner = owner_of_keys(uniq, n_devices)
+    buckets = jnp.stack([
+        jnp.where(umask & (owner == d), uniq, vhash.EMPTY_KEY)
+        for d in range(n_devices)])
+    recv = jax.lax.all_to_all(buckets, MAP_AXIS, split_axis=0,
+                              concat_axis=0)
+    uniq2, umask2, total2 = vhash.unique_keys(recv.reshape(-1), cap)
+    return tsdf_ops.allocate_keys(m, uniq2, umask2, total2, local_cfg)
+
+
 def _fuse_local(m, depth, gray, T_wc, *, local_cfg: TsdfConfig,
                 intr: Intrinsics, n_devices: int,
-                decay_params=None, slide_params=None):
+                decay_params=None, slide_params=None,
+                alloc_mode: str = "exchange"):
     """Per-device fusion body (runs under shard_map)."""
     old_overflow = m.overflow
     old_decayed = m.decayed_blocks
-    m, slots, live = tsdf_ops.allocate_for_frame(
-        m, depth, T_wc, intr, local_cfg, key_filter=_owner_filter(n_devices))
+    if alloc_mode == "exchange" and n_devices > 1:
+        m, slots, live = _alloc_exchange(
+            m, depth, T_wc, local_cfg=local_cfg, intr=intr,
+            n_devices=n_devices)
+    else:
+        m, slots, live = tsdf_ops.allocate_for_frame(
+            m, depth, T_wc, intr, local_cfg,
+            key_filter=_owner_filter(n_devices))
     color = tsdf_ops.pack_gray(gray)
     m = tsdf_ops.integrate(m, slots, live, depth, color, T_wc, intr,
                            local_cfg)
@@ -253,6 +302,7 @@ class ShardedTsdf:
         fuse = functools.partial(
             _fuse_local, local_cfg=self.local_cfg, intr=intr, n_devices=self.n,
             decay_params=cfg.decay, slide_params=cfg.slide_window,
+            alloc_mode=cfg.pipeline.parallel_alloc,
         )
         self.fuse = jax.jit(
             jax.shard_map(

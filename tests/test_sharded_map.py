@@ -279,3 +279,35 @@ def test_sharded_fusion_pallas_sampler(setup):
     assert st.num_blocks(m_g) == st_p.num_blocks(m_p)
     np.testing.assert_array_equal(np.asarray(m_g.weight), np.asarray(m_p.weight))
     np.testing.assert_array_equal(np.asarray(m_g.tsdf), np.asarray(m_p.tsdf))
+
+
+def test_exchange_alloc_matches_replicated(setup):
+    """The owner-routed key exchange (parallel_alloc="exchange") must
+    allocate EXACTLY the block set of the replicated full-frame key-gen:
+    every slab-generated key reaches its owner, duplicates collapse in
+    the final dedupe. Voxel contents must match bit-for-bit (same
+    integrate over the same slot lists)."""
+    cfg, mesh, st = setup  # module fixture: exchange (the default)
+    cfg_r = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline,
+                                          parallel_alloc="replicated"))
+    st_r = sm.ShardedTsdf(cfg_r, mesh)
+    m_x = st.make_map()
+    m_r = st_r.make_map()
+    poses = synthetic.make_trajectory(3, step_m=0.07, yaw_rate=0.01)
+    for i in range(3):
+        T = jnp.asarray(poses[i])
+        gray, depth = synthetic.render_view(T, cfg.rig.intr)
+        m_x = st.fuse(m_x, depth, gray, T)
+        m_r = st_r.fuse(m_r, depth, gray, T)
+    kx = np.sort(np.asarray(m_x.table.keys))
+    kr = np.sort(np.asarray(m_r.table.keys))
+    np.testing.assert_array_equal(kx, kr)
+    # same keys -> same slots per shard (insertion order differs, so
+    # compare contents via a per-slot sort key)
+    ox = np.argsort(np.asarray(m_x.table.keys), kind="stable")
+    orr = np.argsort(np.asarray(m_r.table.keys), kind="stable")
+    np.testing.assert_array_equal(np.asarray(m_x.weight)[ox],
+                                  np.asarray(m_r.weight)[orr])
+    np.testing.assert_array_equal(np.asarray(m_x.tsdf)[ox],
+                                  np.asarray(m_r.tsdf)[orr])
