@@ -82,6 +82,7 @@ class SLAMSystem:
         self._reloc_pending = False
         self._lost_anchor_nkf = 0
         self._reloc_extra = None   # reloc delta when no kf anchors it
+        self._prefetched = None    # (frame0, n, stats) from prefetch_chunk
 
     def _get_seq_fn(self):
         if self._seq_fn is None:
@@ -173,6 +174,9 @@ class SLAMSystem:
                       timestamp: Optional[float] = None) -> dict:
         import time as _time
 
+        if self._prefetched is not None:
+            raise RuntimeError("a prefetched chunk is pending — call "
+                               "process_chunk before process_frame")
         t0 = _time.perf_counter()
         out = self.slam.process_frame(left, right, depth=depth,
                                       timestamp=timestamp,
@@ -221,6 +225,45 @@ class SLAMSystem:
         out["ba_ms"] = self.backend.last_ba_ms
         return out
 
+    def _dispatch_scan(self, lefts, rights):
+        """Dispatch the chunk-scan device program on the current state and
+        advance the state handles to its (async) outputs. Returns
+        (frame0, n, stats) with stats still on device."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        n = lefts.shape[0]
+        slam = self.slam
+        seq_fn = self._get_seq_fn()
+        frame0 = int(slam.frame)     # authoritative (checkpoint-restored)
+        fids = jnp.arange(frame0, frame0 + n, dtype=jnp.int32)
+        st, m, db, stats = seq_fn(
+            slam.fe_state, slam.submaps.active, slam.db, lefts, rights, fids)
+        slam.fe_state = st
+        slam.submaps.active = m
+        slam.db = db
+        slam.frame = frame0 + n
+        self.phase_s["scan_dispatch"] += _time.perf_counter() - t0
+        return frame0, n, stats
+
+    def prefetch_chunk(self, lefts, rights) -> None:
+        """Dispatch the NEXT chunk's scan ahead of between-chunk host work.
+
+        Call it right after `process_chunk` returns (the previous tick's
+        corrections are already dispatched, so the scan consumes corrected
+        state — ordering is IDENTICAL to the unprefetched path) and then do
+        whatever host work sits between chunks (telemetry, data prep);
+        the scan's device time hides under it instead of serializing
+        inside the next `process_chunk`'s fetch. The next `process_chunk`
+        call MUST pass the same batch. This is the flattened-schedule form
+        of the reference's tracking-thread / mapping-thread overlap
+        (SURVEY.md section 2c P1/P2): the device races ahead on odometry +
+        fusion while the host turns the crank on the backend's bookwork."""
+        if self._prefetched is not None:
+            raise RuntimeError("prefetch_chunk called twice without an "
+                               "intervening process_chunk")
+        self._prefetched = self._dispatch_scan(lefts, rights)
+
     def process_chunk(self, lefts, rights) -> dict:
         """Throughput mode: run a frame batch through the batched
         `process_sequence` scan (ONE device program — see its docstring for
@@ -246,21 +289,21 @@ class SLAMSystem:
         Returns the last frame's telemetry plus per-chunk stats arrays."""
         import time as _time
 
-        from .dense_slam import process_sequence
-
         t0 = _time.perf_counter()
-        n = lefts.shape[0]
         slam = self.slam
-        seq_fn = self._get_seq_fn()
-        frame0 = slam.frame          # authoritative (checkpoint-restored)
-        fids = jnp.arange(frame0, frame0 + n, dtype=jnp.int32)
-        st, m, db, stats = seq_fn(
-            slam.fe_state, slam.submaps.active, slam.db, lefts, rights, fids)
-        slam.fe_state = st
-        slam.submaps.active = m
-        slam.db = db
-        slam.frame = frame0 + n
-        self.phase_s["scan_dispatch"] += _time.perf_counter() - t0
+        if self._prefetched is not None:
+            # the scan for THIS chunk was dispatched by prefetch_chunk
+            # after the previous chunk's tick — its device time has been
+            # hiding under the caller's between-chunk host work
+            frame0, n, stats = self._prefetched
+            self._prefetched = None
+            if n != lefts.shape[0]:
+                raise ValueError(
+                    f"prefetched chunk has {n} frames, caller passed "
+                    f"{lefts.shape[0]} — prefetch_chunk/process_chunk must "
+                    "receive the same batch")
+        else:
+            frame0, n, stats = self._dispatch_scan(lefts, rights)
 
         # ONE packed fetch (each readback pays the full tunnel RTT): poses
         # + flags + the fused keyframes' retrieval sketches

@@ -60,6 +60,22 @@ def main() -> None:
                     help="blank (zero) frames [START, START+LEN) to "
                     "exercise tracking loss + relocalization (the "
                     "reference's tracker recovery, DenseSlam.cpp:89-96)")
+    ap.add_argument("--prefetch", action="store_true",
+                    help="pipeline chunk k+1's scan dispatch under chunk "
+                    "k's eval/telemetry (SLAMSystem.prefetch_chunk). WINS "
+                    "only when host<->device bandwidth is not the "
+                    "bottleneck: on the tunneled axon runtime the in-"
+                    "flight scan's argument streaming contends with every "
+                    "tick dispatch and the drive measured 3.5x SLOWER "
+                    "(fps_steady 8.1 -> 2.3, all phases uniformly "
+                    "inflated); default off here, on for real TPU hosts")
+    ap.add_argument("--slide-max-age", type=int, default=60,
+                    help="slide-window eviction age (frames). 60 bounds "
+                    "memory tightly but caps raycast coverage ~0.40 on the "
+                    "544-frame drive (the sphere-trace ORACLE only reaches "
+                    "0.459 under it); 120+ trades HBM for coverage")
+    ap.add_argument("--decay-min-age", type=int, default=30,
+                    help="voxel decay minimum age (frames)")
     ap.add_argument("--out", default=None, help="append RESULTS block here")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
@@ -99,9 +115,10 @@ def main() -> None:
             alloc_subsample=2,
         ),
         stereo=StereoConfig(cost_dtype="bfloat16"),
-        decay=VoxelDecayParams(enabled=True, min_decay_age=30,
+        decay=VoxelDecayParams(enabled=True, min_decay_age=args.decay_min_age,
                                max_decay_weight=2),
-        slide_window=SlideWindowParams(enabled=True, max_age=60),
+        slide_window=SlideWindowParams(enabled=True,
+                                       max_age=args.slide_max_age),
         correction=OnlineCorrectionParams(enabled=True, correction_num=5,
                                           start_correction_num=4,
                                           min_error=0.01),
@@ -185,24 +202,37 @@ def main() -> None:
     dm_acc = []
     dm_gt_acc = []
     dm_in_acc = []
+    eval_ids = []            # which frames were depth-evaluated
     kf_seen = 0
     key0 = jax.random.PRNGKey(0)
-    for base in range(0, n_total, ck):
-        hi = min(base + ck, n_total)
+
+    def _make_chunk(lo, hi2, block=True):
+        """Synthesize frames [lo, hi2) (device-side render + nuisance)."""
         ts = time.perf_counter()
         lg, rgs, _ = synthetic.render_stereo_trajectory(
-            gt[base:hi], rig, scene)
-        lefts, rights = _nuisance(lg, rgs, jnp.float32(base),
-                                  jax.random.fold_in(key0, base))
+            gt[lo:hi2], rig, scene)
+        ls, rs = _nuisance(lg, rgs, jnp.float32(lo),
+                           jax.random.fold_in(key0, lo))
         if blackout is not None:
-            t_idx = np.arange(base, hi)
+            t_idx = np.arange(lo, hi2)
             b = (t_idx >= blackout[0]) & (t_idx < blackout[1])
             if b.any():
                 keep = jnp.asarray(~b, jnp.float32)[:, None, None]
-                lefts = lefts * keep
-                rights = rights * keep
-        rights.block_until_ready()
+                ls = ls * keep
+                rs = rs * keep
+        if block:
+            rs.block_until_ready()
+        nonlocal synth_s
         synth_s += time.perf_counter() - ts
+        return ls, rs
+
+    prepped = None           # next chunk's frames, already dispatched
+    for base in range(0, n_total, ck):
+        hi = min(base + ck, n_total)
+        if prepped is None:
+            lefts, rights = _make_chunk(base, hi)
+        else:
+            lefts, rights = prepped
 
         eval_frames = []     # (gt_index) to depth-eval after this batch
         if use_chunk:
@@ -249,6 +279,25 @@ def main() -> None:
                         eval_frames.append(t)
                     kf_seen += 1
 
+        # ---- pipeline the next chunk: synthesize + dispatch its scan NOW
+        # so its device time hides under this chunk's eval renders and
+        # telemetry (SLAMSystem.prefetch_chunk — the flattened form of the
+        # reference's tracking/mapping thread overlap). On chunks with
+        # depth-eval frames, prefetch AFTER the eval instead: the eval
+        # renders then see exactly the map state the unpipelined run saw.
+        prepped = None
+
+        def _prefetch_next():
+            nonlocal prepped
+            if (args.prefetch and use_chunk and hi < n_total
+                    and prepped is None):
+                nxt = _make_chunk(hi, min(hi + ck, n_total), block=False)
+                system.prefetch_chunk(*nxt)
+                prepped = nxt
+
+        if not eval_frames:
+            _prefetch_next()
+
         # ---- raycast-depth eval, DURING the run (reference renders at
         # the tracked pose while the sequence plays; rendering later is
         # meaningless under slide-window eviction).
@@ -268,6 +317,7 @@ def main() -> None:
                           if f == t), None)
             if T_est is None:
                 continue
+            eval_ids.append(t)
             T_est = jnp.asarray(T_est)
             rc = np.asarray(system.slam.raycast_view(T_est).depth)
             _, gt_at_est = synthetic.render_view(T_est, intr, scene)
@@ -289,6 +339,7 @@ def main() -> None:
                 d_in, gtd, min_depth=0.5,
                 max_depth=cfg.tsdf.max_depth_m))
         eval_s += time.perf_counter() - te
+        _prefetch_next()
 
         if (base // ck) % 4 == 0:
             el = time.perf_counter() - t0
@@ -324,6 +375,7 @@ def main() -> None:
         keyframe_every=args.keyframe_every,
         backend=jax.default_backend(),
         chunk=args.chunk, blackout=args.blackout,
+        slide_max_age=args.slide_max_age, decay_min_age=args.decay_min_age,
         fps=round(fps, 2), fps_steady=round(fps_steady, 2),
         fps_pipeline=round(proc_frames / max(proc_s, 1e-9), 2),
         wall_s=round(wall, 1), synth_s=round(synth_s, 1),
@@ -344,6 +396,17 @@ def main() -> None:
                       if dm_gt else None),
         depth_input=({k: round(v, 4) for k, v in dm_in.items()}
                      if dm_in else None),
+        # per-eval-frame spread: the headline depth numbers average only
+        # ~6-20 frames, so one catastrophic frame dominates the mean —
+        # keep the per-frame values visible for outlier diagnosis
+        depth_per_frame=dict(
+            frame=eval_ids,
+            absrel=[round(d["absrel"], 4) for d in dm_gt_acc],
+            absrel_estpose=[round(d["absrel"], 4) for d in dm_acc],
+            absrel_input=[round(d["absrel"], 4) for d in dm_in_acc],
+            mae=[round(d["mae"], 3) for d in dm_gt_acc],
+            coverage=[round(d["coverage"], 3) for d in dm_gt_acc],
+        ) if dm_gt_acc else None,
     )
     print(json.dumps(rec))
     if args.json:

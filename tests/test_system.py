@@ -225,3 +225,37 @@ def test_resync_propagates_delta_not_teleport():
     sys_._resync_pose(T_before=T_kf)
     np.testing.assert_allclose(
         np.asarray(sys_.slam.fe_state.T_wc), T_cur, atol=0)
+
+
+def test_prefetch_chunk_matches_unprefetched():
+    """prefetch_chunk + process_chunk must produce the SAME trajectory and
+    backend state as plain process_chunk calls: the prefetch only hoists
+    the scan dispatch ahead of host work, it never reorders device
+    programs relative to the tick's corrections."""
+    import dataclasses
+
+    import numpy as np
+
+    cfg = tiny_test_config(width=320, height=240, baseline_m=0.25)
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, fusion_db_capacity=8))
+    n, chunk = 12, 4
+    poses = synthetic.make_trajectory(n, step_m=0.12, yaw_rate=0.02)
+    lefts, rights, _ = synthetic.render_stereo_trajectory(poses, cfg.rig)
+
+    def drive(prefetch: bool):
+        s = SLAMSystem(cfg, ba_every=2, loop_every=0)
+        pre = None
+        for i in range(0, n, chunk):
+            s.process_chunk(lefts[i:i + chunk], rights[i:i + chunk])
+            if prefetch and i + chunk < n:
+                s.prefetch_chunk(lefts[i + chunk:i + 2 * chunk],
+                                 rights[i + chunk:i + 2 * chunk])
+        return s
+
+    s_a = drive(False)
+    s_b = drive(True)
+    ta = np.stack([T for _, T in s_a.trajectory()])
+    tb = np.stack([T for _, T in s_b.trajectory()])
+    np.testing.assert_allclose(ta, tb, atol=1e-6)
+    assert s_a.backend.num_keyframes == s_b.backend.num_keyframes
