@@ -173,6 +173,16 @@ class StereoConfig:
     sgm_p1: float = 8.0
     sgm_p2: float = 96.0
     lr_check_px: float = 1.5
+    # Uniqueness gate on the RAW (pre-aggregation) cost at the SGM winner:
+    # reject pixels where raw_cost[winner] > uniq_ratio * min(raw_cost
+    # outside +-2 lanes). Texture-poor surfaces — in particular objects
+    # CLOSER than the rig's resolvable floor fx*b/max_disparity, whose true
+    # disparity is outside the search range — produce flat raw cost and a
+    # confident-but-wrong SGM match that the LR check cannot catch (both
+    # views agree on the same self-similar mismatch). Measured on the
+    # long-drive's frame-400 close-occluder failure: thr 0.9 rejects 99.7%
+    # of >50%-error pixels at 1.7% of good ones. 0 disables.
+    uniq_ratio: float = 0.9
     use_sgm: bool = True
     # cost-volume dtype for the SGM aggregation passes. "bfloat16" halves
     # the HBM traffic of the dominant full-volume scans (the volume is

@@ -172,8 +172,13 @@ def _disparity_from_maps(best, cmin, c0, c2, best_r, d: int,
     return jnp.where(valid, disp, 0.0), valid
 
 
-def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
-    """WTA + parabolic subpixel + left-right consistency.
+def disparity_from_cost(cost: jax.Array, cfg: StereoConfig,
+                        raw_cost: jax.Array = None):
+    """WTA + parabolic subpixel + left-right consistency (+ raw-cost
+    uniqueness gate when `raw_cost` is given and cfg.uniq_ratio > 0 —
+    see StereoConfig.uniq_ratio for why the gate must use the
+    PRE-aggregation volume: SGM's smoothness penalties flatten the
+    aggregated volume and destroy the ratio's discriminative power).
 
     Returns (disp (H, W) f32, valid (H, W) bool)."""
     h, w, d = cost.shape
@@ -212,7 +217,17 @@ def disparity_from_cost(cost: jax.Array, cfg: StereoConfig):
         best_r_val = jnp.where(better, slab, best_r_val)
         best_r = jnp.where(better, dd, best_r)
 
-    return _disparity_from_maps(best, cmin, c0, c2, best_r, d, cfg)
+    disp, valid = _disparity_from_maps(best, cmin, c0, c2, best_r, d, cfg)
+    if raw_cost is not None and cfg.uniq_ratio > 0:
+        rawf = raw_cost
+        c_at = jnp.sum(jnp.where(lane == bm, rawf, zero), axis=-1,
+                       dtype=jnp.float32)
+        second = jnp.min(jnp.where(jnp.abs(lane - bm) > 2, rawf, big),
+                         axis=-1).astype(jnp.float32)
+        unique = c_at <= cfg.uniq_ratio * second
+        disp = jnp.where(unique, disp, 0.0)
+        valid = valid & unique
+    return disp, valid
 
 
 def compute_depth(left: jax.Array, right: jax.Array, rig: StereoRig,
@@ -223,8 +238,9 @@ def compute_depth(left: jax.Array, right: jax.Array, rig: StereoRig,
     cost = cost_volume(left, right, cfg)
     if cfg.cost_dtype == "bfloat16":
         cost = cost.astype(jnp.bfloat16)
+    raw = cost
     if cfg.use_sgm:
         cost = sgm_aggregate(cost, cfg)
-    disp, valid = disparity_from_cost(cost, cfg)
+    disp, valid = disparity_from_cost(cost, cfg, raw_cost=raw)
     depth = disparity_to_depth(disp, rig, min_depth_m, max_depth_m)
     return depth, valid & (depth > 0)

@@ -155,6 +155,15 @@ def main() -> None:
     system.warmup(chunk=args.chunk if args.chunk > 0 else 0)
     # the eval renderer too (it interleaves with the drive)
     _ = np.asarray(system.slam.raycast_view(jnp.eye(4, dtype=jnp.float32)).depth)
+    # ... and the eval SGM program: its first-use compile inside chunk 0's
+    # eval congested the remote compile service and stalled the next
+    # chunks' scan dispatches for minutes (r7 drive: ~400 s across the
+    # first two chunks)
+    from denseslam_tpu.ops import stereo as stereo_ops
+    _sgm_eval = jax.jit(lambda l, r: stereo_ops.compute_depth(
+        l, r, rig, cfg.stereo, max_depth_m=cfg.tsdf.max_depth_m))
+    zi = jnp.zeros((h, w), jnp.float32)
+    _ = np.asarray(_sgm_eval(zi, zi)[0])
     warm_s = time.perf_counter() - tw
     print(f"warmup done in {warm_s:.1f} s", flush=True)
 
@@ -183,12 +192,17 @@ def main() -> None:
     print(f"long drive: {n_total} frames @ {w}x{h}, loop radius "
           f"{args.radius} m, kf_every={args.keyframe_every}, "
           f"{'chunk=%d' % ck if use_chunk else 'per-frame'}", flush=True)
-    # input-depth (SGM) metrics at the same eval frames — the reference's
-    # raycast-vs-input-depth comparison (eval_raycast_depth.py:67 switch):
-    # separates stereo-matching error from fusion/render error
-    from denseslam_tpu.ops import stereo as stereo_ops
-    _sgm_eval = jax.jit(lambda l, r: stereo_ops.compute_depth(
-        l, r, rig, cfg.stereo, max_depth_m=cfg.tsdf.max_depth_m))
+    # input-depth (SGM) metrics at the eval frames (defined pre-warmup) —
+    # the reference's raycast-vs-input-depth comparison
+    # (eval_raycast_depth.py:67 switch): separates stereo-matching error
+    # from fusion/render error.
+    # depth-metric floor: the rig's resolvable-depth envelope. Objects
+    # closer than fx*b/max_disparity have true disparity outside the
+    # search range — no stereo system on this rig can measure them (the
+    # frame-400 close occluder scored absrel 0.92 purely on such pixels).
+    # Scoring starts where the sensor can physically see.
+    z_floor = max(0.5, rig.intr.fx * rig.baseline_m
+                  / (cfg.stereo.max_disparity - 1))
 
     t0 = time.perf_counter()
     t_steady = None          # set after the warmup frames (compile stall)
@@ -324,7 +338,7 @@ def main() -> None:
             gtd_e = np.array(gt_at_est)
             gtd_e[gtd_e > cfg.tsdf.max_depth_m] = 0.0
             dm_acc.append(depth_metrics.depth_metrics(
-                rc, gtd_e, min_depth=0.5, max_depth=cfg.tsdf.max_depth_m))
+                rc, gtd_e, min_depth=z_floor, max_depth=cfg.tsdf.max_depth_m))
             # reference-style: same render scored against GT depth at the
             # TRUE pose (pose drift leaks in, as it does on real data)
             T_gt = jnp.asarray(gt[t])
@@ -332,11 +346,11 @@ def main() -> None:
             gtd = np.array(gt_d)
             gtd[gtd > cfg.tsdf.max_depth_m] = 0.0
             dm_gt_acc.append(depth_metrics.depth_metrics(
-                rc, gtd, min_depth=0.5, max_depth=cfg.tsdf.max_depth_m))
+                rc, gtd, min_depth=z_floor, max_depth=cfg.tsdf.max_depth_m))
             d_in, v_in = _sgm_eval(lefts[t - base], rights[t - base])
             d_in = np.asarray(jnp.where(v_in, d_in, 0.0))
             dm_in_acc.append(depth_metrics.depth_metrics(
-                d_in, gtd, min_depth=0.5,
+                d_in, gtd, min_depth=z_floor,
                 max_depth=cfg.tsdf.max_depth_m))
         eval_s += time.perf_counter() - te
         _prefetch_next()
@@ -376,6 +390,7 @@ def main() -> None:
         backend=jax.default_backend(),
         chunk=args.chunk, blackout=args.blackout,
         slide_max_age=args.slide_max_age, decay_min_age=args.decay_min_age,
+        depth_eval_min_m=round(z_floor, 3),
         fps=round(fps, 2), fps_steady=round(fps_steady, 2),
         fps_pipeline=round(proc_frames / max(proc_s, 1e-9), 2),
         wall_s=round(wall, 1), synth_s=round(synth_s, 1),
