@@ -881,22 +881,44 @@ class DenseSLAM:
             self.current_keyframes += 1
             fused = True
 
-            # New-submap policy (reference: shouldStartNewLocalMap +
-            # createNewLocalMap, DenseSlam.cpp:133-148, 554-571): spawn when
-            # this frame's visible fraction of the active map is low.
-            thr = cfg.pipeline.new_submap_threshold
-            if thr >= 0:
-                m = self.submaps.active
-                visible = int(jnp.sum(
-                    (m.last_seen == (m.frame - 1)) & m.table.valid))
-                if self.submaps.should_start_new(visible, thr):
-                    # the old submap keeps its fusion DB (its correction
-                    # history stays replayable); the new one starts fresh
-                    self.submaps.create_new(np.asarray(T_wc),
-                                            anchor_frame_id=self.frame)
+            self.maybe_spawn_submap(T_wc)
 
         # pose + block count in ONE fetch (see _pack_pose_nb note)
         pose_nb = np.asarray(self._pack_pose_nb(T_wc, self.submaps.active))
+        return self._finish_frame_record(pose_nb, fused, tracking_ok,
+                                         vo_stats)
+
+    def maybe_spawn_submap(self, T_wc) -> bool:
+        """New-submap policy (reference: shouldStartNewLocalMap +
+        createNewLocalMap, DenseSlam.cpp:133-148, 554-571): spawn when the
+        current frame's visible fraction of the active map is low. The
+        per-frame path checks after every fused keyframe; the production
+        chunked path checks once per chunk (SLAMSystem.process_chunk) —
+        the two-rate cadence the reference's map management runs at.
+        Spawning trips the memory-budget policy (a new pool + DB is
+        exactly when the device footprint jumps). Returns True if a new
+        submap was started."""
+        cfg = self.cfg
+        thr = cfg.pipeline.new_submap_threshold
+        if thr < 0:
+            return False
+        if self._sharded is not None:
+            # sharded mode shards the ACTIVE map; spawning would demote it
+            # to a single-chip inactive submap — unsupported for now
+            return False
+        m = self.submaps.active
+        visible = int(jnp.sum(
+            (m.last_seen == (m.frame - 1)) & m.table.valid))
+        if not self.submaps.should_start_new(visible, thr):
+            return False
+        # the old submap keeps its fusion DB (its correction history
+        # stays replayable); the new one starts fresh
+        self.submaps.create_new(np.asarray(T_wc),
+                                anchor_frame_id=self.frame)
+        self.submaps.enforce_memory_budget()
+        return True
+
+    def _finish_frame_record(self, pose_nb, fused, tracking_ok, vo_stats):
         T_np = pose_nb[:16].reshape(4, 4)
         nb = int(pose_nb[16])
         self.pose_history.append((self.frame, T_np))

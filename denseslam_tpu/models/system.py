@@ -481,6 +481,12 @@ class SLAMSystem:
             if self._chain_scan is not None:
                 self._chain_scan = _orth(D_run @ self._chain_scan)
 
+        # chunk-rate submap management: spawn-on-low-visibility + memory
+        # budget (per-frame mode checks after every fused keyframe; here
+        # once per chunk — the reference's slower map-management rate)
+        if fused_any:
+            slam.maybe_spawn_submap(T_last)
+
         dt = (_time.perf_counter() - t0) * 1000.0
         return dict(
             T_wc=T_last,

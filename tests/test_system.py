@@ -259,3 +259,24 @@ def test_prefetch_chunk_matches_unprefetched():
     tb = np.stack([T for _, T in s_b.trajectory()])
     np.testing.assert_allclose(ta, tb, atol=1e-6)
     assert s_a.backend.num_keyframes == s_b.backend.num_keyframes
+
+
+def test_chunk_mode_submap_spawn():
+    """The production chunked path runs the new-submap policy at chunk
+    rate (per-frame mode checks after every fused keyframe): turning the
+    camera away from the fused scene must spawn a fresh submap, and the
+    old submap keeps its fusion DB."""
+    import dataclasses
+
+    cfg = tiny_test_config(width=320, height=240, baseline_m=0.25)
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, fusion_db_capacity=8, new_submap_threshold=0.5))
+    sys_ = SLAMSystem(cfg, ba_every=0, loop_every=0)
+    n, chunk = 12, 4
+    poses = synthetic.make_trajectory(n, step_m=0.1, yaw_rate=0.18)
+    lefts, rights, _ = synthetic.render_stereo_trajectory(poses, cfg.rig)
+    for i in range(0, n, chunk):
+        sys_.process_chunk(lefts[i:i + chunk], rights[i:i + chunk])
+    assert len(sys_.slam.submaps.maps) >= 2, "no submap spawned in chunk mode"
+    assert int(np.asarray(sys_.slam.submaps.dbs[0].valid).sum()) > 0
