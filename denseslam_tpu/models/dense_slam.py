@@ -427,6 +427,14 @@ class SubmapManager:
         self.global_poses: List[np.ndarray] = []
         self.spawn_poses: List[np.ndarray] = []
         self.anchor_frames: List[int] = []
+        # per-submap deferred corrections for HOST-RESIDENT submaps:
+        # frame_id -> latest optimised pose. Replaying every backend tick
+        # into a spilled submap would round-trip its ~200 MB pool through
+        # the host boundary per tick (measured: the submap drive crawled
+        # to 0.4 fps); deferring until restore is exactly equivalent —
+        # replay de-fuses at the DB's stored fused pose, so only the
+        # LATEST optimised pose per frame matters.
+        self.pending_corrections: List[dict] = []
         self.num_evictions = 0
         self.num_restores = 0
         self.create_new(np.eye(4, dtype=np.float32), anchor_frame_id=0)
@@ -438,6 +446,7 @@ class SubmapManager:
         self.global_poses.append(np.asarray(T_global))
         self.spawn_poses.append(np.asarray(T_global))
         self.anchor_frames.append(int(anchor_frame_id))
+        self.pending_corrections.append({})
         # a spawn is when the device footprint jumps by one pool + DB —
         # the natural memory-pressure checkpoint
         self.enforce_memory_budget()
@@ -935,6 +944,32 @@ class DenseSLAM:
 
     # -- global consistency ------------------------------------------------
 
+    def restore_submap(self, si: int) -> None:
+        """Restore a spilled submap to device AND replay the corrections
+        deferred while it was on host (pending_corrections) — the
+        swapped-in submap must look exactly as if it had been corrected
+        in place."""
+        self.submaps.restore_to_device(si)
+        pend = self.submaps.pending_corrections[si]
+        if not pend:
+            return
+        db_i = self.submaps.dbs[si]
+        db_ids = np.asarray(db_i.frame_id)
+        c = db_ids.shape[0]
+        opt_T = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
+        opt_valid = np.zeros((c,), bool)
+        for slot, fid in enumerate(db_ids):
+            if int(fid) in pend:
+                opt_T[slot] = pend[int(fid)]
+                opt_valid[slot] = True
+        pend.clear()
+        if not opt_valid.any():
+            return
+        m, db, _ = self._correct(self.submaps.maps[si], db_i,
+                                 jnp.asarray(opt_T), jnp.asarray(opt_valid))
+        self.submaps.maps[si] = m
+        self.submaps.dbs[si] = db
+
     def apply_pose_updates(self, frame_ids: np.ndarray, poses: np.ndarray) -> int:
         """Feed backend-optimised poses; runs OnlineCorrection on EVERY
         device-resident submap whose fusion DB holds affected frames (the
@@ -959,15 +994,18 @@ class DenseSLAM:
             return 0
         total = 0
         for si in range(self.submaps.num_local_maps):
-            restored = False
             if self.submaps.is_on_host(si):
-                # spilled submap: peek at its (host) frame ids first;
-                # restore to device only if corrections actually touch it
-                if not np.isin(np.asarray(self.submaps.dbs[si].frame_id),
-                               frame_ids).any():
-                    continue
-                self.submaps.restore_to_device(si)
-                restored = True
+                # spilled submap: DEFER — stash the latest optimised pose
+                # per touched frame; the replay happens on restore (see
+                # pending_corrections). Restoring here would round-trip
+                # the whole pool through the host boundary every tick.
+                db_ids = np.asarray(self.submaps.dbs[si].frame_id)
+                valid = np.asarray(self.submaps.dbs[si].valid)
+                pend = self.submaps.pending_corrections[si]
+                for fid in db_ids[valid]:
+                    if int(fid) in lut:
+                        pend[int(fid)] = np.asarray(poses[lut[int(fid)]])
+                continue
             db_i = self.submaps.dbs[si]
             db_ids = np.asarray(db_i.frame_id)
             c = db_ids.shape[0]
@@ -978,8 +1016,6 @@ class DenseSLAM:
                     opt_T[slot] = poses[lut[int(fid)]]
                     opt_valid[slot] = True
             if not opt_valid.any():
-                if restored:
-                    self.submaps.evict_to_host(si)
                 continue
             # sharded mode shards the ACTIVE map only; inactive submaps
             # (if spawned) stay single-chip and use the single-chip replay
@@ -993,8 +1029,6 @@ class DenseSLAM:
             self.submaps.maps[si] = m
             self.submaps.dbs[si] = db
             total += int(num)
-            if restored:   # corrected content goes back to host spill
-                self.submaps.evict_to_host(si)
         self.submaps.enforce_memory_budget()
         return total
 
@@ -1047,10 +1081,10 @@ class DenseSLAM:
             respill = False
             if self.submaps.is_on_host(idx):
                 # spilled submaps still appear in the composite: restore
-                # for the render, spill back after (the reference's
-                # swapped-out submaps round-trip through the swapping
-                # engine the same way)
-                self.submaps.restore_to_device(idx)
+                # (replaying deferred corrections), render, spill back —
+                # the reference's swapped-out submaps round-trip through
+                # the swapping engine the same way
+                self.restore_submap(idx)
                 respill = True
             D = jnp.asarray(self.submaps.delta(idx))
             # render the submap as if its content were rigidly moved by D:

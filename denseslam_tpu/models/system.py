@@ -447,6 +447,17 @@ class SLAMSystem:
         D_extra = getattr(self, "_reloc_extra", None)
         self.phase_s["reloc"] += _time.perf_counter() - t_rl
 
+        # ---- chunk-rate submap management (BEFORE the tick: correction
+        # replay advances the map's frame counter past the last
+        # keyframe's last_seen stamps, which would zero the visible-
+        # fraction read — per-frame mode likewise checks right after
+        # fusion, before backend feedback) ------------------------------
+        if fused_any and j_last is not None:
+            anchor = (np.asarray(self.backend.keyframes[-1].T_wc,
+                                 np.float32)
+                      if self.backend.keyframes else _orth(T_all[j_last]))
+            slam.maybe_spawn_submap(anchor)
+
         # ---- ONE backend tick for the whole chunk -----------------------
         t_tk = _time.perf_counter()
         if fused_any:
@@ -480,12 +491,6 @@ class SLAMSystem:
                 T_wc=jnp.asarray(T_last, jnp.float32))
             if self._chain_scan is not None:
                 self._chain_scan = _orth(D_run @ self._chain_scan)
-
-        # chunk-rate submap management: spawn-on-low-visibility + memory
-        # budget (per-frame mode checks after every fused keyframe; here
-        # once per chunk — the reference's slower map-management rate)
-        if fused_any:
-            slam.maybe_spawn_submap(T_last)
 
         dt = (_time.perf_counter() - t0) * 1000.0
         return dict(

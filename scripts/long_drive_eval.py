@@ -79,6 +79,14 @@ def main() -> None:
                     "0.459 under it); 120+ trades HBM for coverage")
     ap.add_argument("--decay-min-age", type=int, default=30,
                     help="voxel decay minimum age (frames)")
+    ap.add_argument("--submap-threshold", type=float, default=-1.0,
+                    help="new-submap visible-fraction threshold "
+                    "(reference F_originalBlocksThreshold; -1 = single "
+                    "submap). Chunk mode checks once per chunk")
+    ap.add_argument("--map-budget-mb", type=float, default=-1.0,
+                    help="device-memory budget across submaps; oldest "
+                    "inactive submaps spill to host beyond it "
+                    "(ITMSwappingEngine role; -1 = unbounded)")
     ap.add_argument("--out", default=None, help="append RESULTS block here")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
@@ -126,7 +134,9 @@ def main() -> None:
                                           start_correction_num=4,
                                           min_error=0.01),
         pipeline=PipelineConfig(keyframe_every=args.keyframe_every,
-                                fusion_db_capacity=64),
+                                fusion_db_capacity=64,
+                                new_submap_threshold=args.submap_threshold,
+                                map_memory_budget_mb=args.map_budget_mb),
     )
     if args.cpu:  # small-shape smoke mode
         cfg = dataclasses.replace(
@@ -336,7 +346,12 @@ def main() -> None:
                 continue
             eval_ids.append(t)
             T_est = jnp.asarray(T_est)
-            rc = np.asarray(system.slam.raycast_view(T_est).depth)
+            if len(system.slam.submaps.maps) > 1:
+                # multi-submap run: score the composite (active map alone
+                # misses geometry owned by earlier submaps)
+                rc = np.asarray(system.slam.raycast_composite(T_est).depth)
+            else:
+                rc = np.asarray(system.slam.raycast_view(T_est).depth)
             _, gt_at_est = synthetic.render_view(T_est, intr, scene)
             gtd_e = np.array(gt_at_est)
             gtd_e[gtd_e > cfg.tsdf.max_depth_m] = 0.0
@@ -405,6 +420,10 @@ def main() -> None:
         ba_rejects=system.backend.ba_rejects,
         pg_rejects=system.backend.pg_rejects,
         keyframes=system.backend.num_keyframes,
+        submaps=len(system.slam.submaps.maps),
+        submaps_on_host=sum(
+            1 for i in range(len(system.slam.submaps.maps))
+            if system.slam.submaps.is_on_host(i)),
         final_map_mb=round(system.memory_bytes() / 1e6, 1),
         ate_rmse_m=round(ate, 4), end_error_m=round(end_err, 4),
         **{k: round(v, 5) for k, v in rpe_d.items()},

@@ -171,17 +171,30 @@ def test_memory_budget_spills_and_restores(cfg):
     assert int(np.asarray(rc.mask).sum()) > 100   # submap-0 content shows
     assert slam.submaps.num_restores >= 1
 
-    # correction touching the spilled submap's frames round-trips it
+    # correction touching the spilled submap's frames is DEFERRED (no
+    # device round-trip per tick — measured 0.4 fps when every tick
+    # restored+corrected+re-evicted the pool over the host boundary);
+    # the pending poses replay when the submap is next restored
     T0_before = np.asarray(slam.submaps.dbs[0].T_fused).copy()
+    restores_before = slam.submaps.num_restores
     num = slam.apply_pose_updates(
         np.arange(5), np.stack([np.asarray(g) for g in gt]))
     assert num > 0
-    assert slam.submaps.is_on_host(0)             # spilled back after
+    assert slam.submaps.is_on_host(0)             # never left host
+    assert slam.submaps.num_restores == restores_before
+    assert len(slam.submaps.pending_corrections[0]) == 3  # frames 0-2
+    np.testing.assert_allclose(T0_before,
+                               np.asarray(slam.submaps.dbs[0].T_fused))
+
+    # restore replays the deferred corrections: the DB's fused poses move
+    slam.restore_submap(0)
+    assert not slam.submaps.pending_corrections[0]
     T0_after = np.asarray(slam.submaps.dbs[0].T_fused)
     assert not np.allclose(T0_before, T0_after), (
-        "spilled submap's correction history was not replayed")
+        "deferred corrections were not replayed on restore")
+    slam.submaps.evict_to_host(0)
 
-    # correction that does NOT touch the spilled submap leaves it on host
-    restores_before = slam.submaps.num_restores
+    # correction that does NOT touch the spilled submap stashes nothing
     slam.apply_pose_updates(np.array([4]), gt[4][None])
-    assert slam.submaps.num_restores == restores_before
+    assert not slam.submaps.pending_corrections[0]
+    assert slam.submaps.num_restores == restores_before + 1
