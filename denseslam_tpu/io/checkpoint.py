@@ -66,6 +66,12 @@ def save_slam_checkpoint(path: str, slam) -> None:
         sfx = "" if si == 0 else str(si)
         flat.update(_flatten_with_paths(sm.maps[si], "map" + sfx))
         flat.update(_flatten_with_paths(sm.dbs[si], "db" + sfx))
+        pend = sm.pending_corrections[si]
+        if pend:  # corrections deferred while spilled must survive resume
+            flat[f"meta/pend_frames{si}"] = np.asarray(
+                sorted(pend.keys()), np.int64)
+            flat[f"meta/pend_poses{si}"] = np.stack(
+                [pend[f] for f in sorted(pend.keys())])
     flat.update(_flatten_with_paths(slam.fe_state, "fe"))
     flat["meta/frame"] = np.asarray(slam.frame)
     flat["meta/keyframes"] = np.asarray(slam.current_keyframes)
@@ -86,6 +92,10 @@ def load_slam_checkpoint(path: str, slam) -> None:
         sfx = "" if si == 0 else str(si)
         sm.maps[si] = _unflatten_like(sm.maps[si], data, "map" + sfx)
         sm.dbs[si] = _unflatten_like(sm.dbs[si], data, "db" + sfx)
+        sm.pending_corrections[si] = (
+            {int(f): T for f, T in zip(data[f"meta/pend_frames{si}"],
+                                       data[f"meta/pend_poses{si}"])}
+            if f"meta/pend_frames{si}" in data else {})
     if "meta/global_poses" in data:
         sm.global_poses = list(data["meta/global_poses"])
         sm.spawn_poses = list(data["meta/spawn_poses"])

@@ -334,3 +334,44 @@ def test_decay_and_slide_matches_sequential(frame):
                                   np.asarray(fused.weight))
     np.testing.assert_array_equal(np.asarray(seq.color), np.asarray(fused.color))
     assert int(seq.decayed_blocks) == int(fused.decayed_blocks)
+
+
+def test_checkpoint_preserves_pending_corrections(tmp_path):
+    """Corrections deferred while a submap is spilled must survive a
+    checkpoint/resume cycle (they replay on the next restore)."""
+    from denseslam_tpu.config import tiny_test_config
+    from denseslam_tpu.io.checkpoint import (load_slam_checkpoint,
+                                             save_slam_checkpoint)
+    from denseslam_tpu.models.dense_slam import DenseSLAM
+
+    import dataclasses
+
+    from denseslam_tpu.config import OnlineCorrectionParams
+
+    cfg = tiny_test_config(width=160, height=120, baseline_m=0.3)
+    cfg = dataclasses.replace(
+        cfg, correction=OnlineCorrectionParams(
+            enabled=True, correction_num=3, start_correction_num=1,
+            min_error=0.005))
+    slam = DenseSLAM(cfg)
+    poses = synthetic.make_trajectory(3, step_m=0.06, yaw_rate=0.0)
+    for i in range(3):
+        l, r, d = synthetic.render_stereo(jnp.asarray(poses[i]), cfg.rig)
+        slam.process_frame(l, r, depth=d)
+    slam.submaps.create_new(np.asarray(poses[2]), anchor_frame_id=2)
+    slam.submaps.evict_to_host(0)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.25
+    slam.apply_pose_updates(np.array([1]), T[None])
+    assert slam.submaps.pending_corrections[0], "correction not deferred"
+
+    p = str(tmp_path / "ck_pend.npz")
+    save_slam_checkpoint(p, slam)
+    slam2 = DenseSLAM(cfg)
+    load_slam_checkpoint(p, slam2)
+    pend = slam2.submaps.pending_corrections[0]
+    assert 1 in pend
+    np.testing.assert_allclose(pend[1], T)
+    # and the restore replays it
+    slam2.restore_submap(0)
+    assert not slam2.submaps.pending_corrections[0]
