@@ -171,6 +171,12 @@ class Backend:
         self._last_window_ids: Optional[np.ndarray] = None
         self._last_window_mask: Optional[np.ndarray] = None
 
+        # build and solve stay SEPARATE jitted programs on purpose: fusing
+        # them under one jit changes XLA's fusion/rounding in the solve,
+        # and the flagship drive's trajectory is chaotically sensitive to
+        # BA rounding (measured: the fused program moved 544-frame ATE
+        # 0.229 m -> 0.819 m with identical inputs). The RTT win comes
+        # from the ONE packed fetch in local_ba instead.
         self._build = jax.jit(functools.partial(build_window_problem, cfg=cfg))
         self._ba = jax.jit(
             functools.partial(ba.solve, rig=cfg.rig, cfg=cfg.backend)
@@ -301,14 +307,18 @@ class Backend:
                      + [kf.T_wc for kf in window])
         )
         fixed = jnp.arange(K) <= pad
-        problem = self._build(fl, fr, T, fixed=fixed)
         import time as _time
         t0 = _time.perf_counter()
+        problem = self._build(fl, fr, T, fixed=fixed)
         res = self._ba(problem)
-        # one packed fetch: costs (divergence guard) + the sync for timing
-        c0, c1 = (float(x) for x in jax.device_get(
-            (res.initial_cost, res.final_cost)))
+        # ONE packed fetch: costs (divergence guard), optimised poses, and
+        # the window observation mask (cull_redundant's covisibility
+        # evidence) — previously three sequential readbacks, each paying
+        # the full tunnel RTT
+        c0, c1, opt_all, mask = jax.device_get(
+            (res.initial_cost, res.final_cost, res.T_wc, problem.obs_mask))
         self.last_ba_ms = (_time.perf_counter() - t0) * 1000.0
+        c0, c1 = float(c0), float(c1)
         # reject diverged / non-improving solves instead of poisoning the
         # stored poses (plain GN can step uphill on a bad linearisation;
         # a single poisoned window pose feeds back through the odometry
@@ -316,7 +326,7 @@ class Backend:
         if not np.isfinite(c1) or c1 > c0 * 1.05 + 1e-6:
             self.ba_rejects += 1
             return None
-        opt = np.asarray(res.T_wc)[pad:]
+        opt = np.asarray(opt_all)[pad:]
         if not np.isfinite(opt).all():
             self.ba_rejects += 1
             return None
@@ -335,7 +345,7 @@ class Backend:
         ids = np.array([kf.frame_id for kf in window], np.int64)
         # retain the window's covisibility evidence for cull_redundant
         self._last_window_ids = ids
-        self._last_window_mask = np.asarray(problem.obs_mask)[:, pad:]
+        self._last_window_mask = np.asarray(mask)[:, pad:]
         return ids, opt
 
     # -- keyframe culling --------------------------------------------------

@@ -610,13 +610,17 @@ class SubmapManager:
         return int(tsdf_ops.num_allocated_blocks(self.maps[idx]))
 
     def should_start_new(self, visible_blocks: int,
-                         threshold: float) -> bool:
+                         threshold: float,
+                         size: Optional[int] = None) -> bool:
         """reference: DenseSlam.cpp:554-565 — new submap when the visible
         fraction of the primary map drops below threshold (threshold < 0
-        disables, the reference's default)."""
+        disables, the reference's default). Pass `size` when the caller
+        already fetched the allocated-block count (the chunked path packs
+        it with the visible count into one readback)."""
         if threshold < 0:
             return False
-        size = self.local_map_size(self.active_idx)
+        if size is None:
+            size = self.local_map_size(self.active_idx)
         if size == 0:
             return False
         return visible_blocks / size < threshold
@@ -733,6 +737,12 @@ class DenseSLAM:
         self._icp = jax.jit(
             functools.partial(icp_ops.track, intr=cfg.rig.intr)
         )
+        # spawn-policy scalars (visible blocks + allocated blocks) in one
+        # program + one packed fetch: eager jnp ops here were ~4 dispatches
+        # plus two scalar readbacks per chunk on the tunneled runtime
+        self._spawn_stats = jax.jit(lambda m: (
+            jnp.sum((m.last_seen == (m.frame - 1)) & m.table.valid),
+            tsdf_ops.num_allocated_blocks(m)))
         # telemetry packers: the host needs a handful of scalars every
         # frame (tracking_ok before the fusion decision; pose + block
         # count for history/accounting). On the tunneled runtime EACH
@@ -915,10 +925,9 @@ class DenseSLAM:
             # sharded mode shards the ACTIVE map; spawning would demote it
             # to a single-chip inactive submap — unsupported for now
             return False
-        m = self.submaps.active
-        visible = int(jnp.sum(
-            (m.last_seen == (m.frame - 1)) & m.table.valid))
-        if not self.submaps.should_start_new(visible, thr):
+        visible, size = (int(x) for x in jax.device_get(
+            self._spawn_stats(self.submaps.active)))
+        if not self.submaps.should_start_new(visible, thr, size=size):
             return False
         # the old submap keeps its fusion DB (its correction history
         # stays replayable); the new one starts fresh
@@ -992,22 +1001,28 @@ class DenseSLAM:
 
         if not self.cfg.correction.enabled:
             return 0
-        total = 0
-        for si in range(self.submaps.num_local_maps):
+        # ONE packed fetch of every submap's DB index (frame ids + valid
+        # flags): the per-submap np.asarray reads each paid a full tunnel
+        # RTT. Spilled submaps' DBs are host numpy already — device_get
+        # passes them through untouched.
+        nmaps = self.submaps.num_local_maps
+        db_index = jax.device_get(
+            [(self.submaps.dbs[si].frame_id, self.submaps.dbs[si].valid)
+             for si in range(nmaps)])
+        nums = []
+        for si in range(nmaps):
+            db_ids, db_valid = (np.asarray(a) for a in db_index[si])
             if self.submaps.is_on_host(si):
                 # spilled submap: DEFER — stash the latest optimised pose
                 # per touched frame; the replay happens on restore (see
                 # pending_corrections). Restoring here would round-trip
                 # the whole pool through the host boundary every tick.
-                db_ids = np.asarray(self.submaps.dbs[si].frame_id)
-                valid = np.asarray(self.submaps.dbs[si].valid)
                 pend = self.submaps.pending_corrections[si]
-                for fid in db_ids[valid]:
+                for fid in db_ids[db_valid]:
                     if int(fid) in lut:
                         pend[int(fid)] = np.asarray(poses[lut[int(fid)]])
                 continue
             db_i = self.submaps.dbs[si]
-            db_ids = np.asarray(db_i.frame_id)
             c = db_ids.shape[0]
             opt_T = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
             opt_valid = np.zeros((c,), bool)
@@ -1028,9 +1043,11 @@ class DenseSLAM:
                 jnp.asarray(opt_T), jnp.asarray(opt_valid))
             self.submaps.maps[si] = m
             self.submaps.dbs[si] = db
-            total += int(num)
+            nums.append(num)
         self.submaps.enforce_memory_budget()
-        return total
+        # one sync for every submap's re-fuse counter (int(num) inside the
+        # loop serialized a readback behind each correction program)
+        return int(np.sum(jax.device_get(nums))) if nums else 0
 
     def purge_keyframes(self, culled_frame_ids: np.ndarray) -> None:
         """Remove fused keyframes the backend culled (DenseSlam.cpp:417-429)."""
