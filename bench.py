@@ -113,6 +113,26 @@ def main(argv=None) -> None:
     # completes (see .claude/skills/verify/SKILL.md — timing methodology).
     count = jax.jit(tsdf_ops.num_allocated_blocks)
 
+    def dispatch_health_ms() -> float:
+        """Tiny-op dispatch latency (CLAUDE.md rule 5): ~0.05 ms healthy;
+        ~0.3+ ms means the shared remote-compile service is congested and
+        every number below is a LOWER BOUND, not pipeline cost. Varying
+        salt defeats the runtime's identical-dispatch dedup."""
+        tiny = jax.jit(lambda x, s: jnp.sum(x * 2.0 + s))
+        x = jnp.ones((8, 128), jnp.float32)
+        float(jax.device_get(tiny(x, jnp.float32(0.5))))   # compile
+        ts = []
+        for k in range(5):
+            t0 = time.perf_counter()
+            float(jax.device_get(tiny(x, jnp.float32(k + 1.0))))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2] * 1e3
+
+    # The fetch RTT rides every probe on the tunnel (~0.1-0.2 ms); the
+    # congestion signal is the DELTA from this session's healthy floor.
+    health_ms = dispatch_health_ms()
+
     # warmup / compile + 2 untimed steady-state chunks: the FIRST dispatch
     # window after a warmup fetch runs ~1.6x slow on the tunneled runtime
     # (measured 31.5 fps then 49-50 fps for identical windows); timing must
@@ -142,11 +162,19 @@ def main(argv=None) -> None:
     # fusion tail answers a narrower question than the reference's ~10 fps
     # whole-system number; the full-system fps/ATE ride along so one line
     # carries both) — reference fps: src/DenseSLAM/DenseSlam.h:488-489
+    health_after_ms = dispatch_health_ms()
+
     rec = {
         "metric": "fused_frames_per_s_per_chip_kitti",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
+        # in-band evidence for the timing's trustworthiness (CLAUDE.md
+        # rule 5): pre/post tiny-op dispatch latency; >= ~0.5 ms flags a
+        # congested remote-compile service -> fps is a lower bound only
+        "health_ms": round(health_ms, 3),
+        "health_after_ms": round(health_after_ms, 3),
+        "congested": bool(max(health_ms, health_after_ms) >= 0.5),
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -166,16 +166,24 @@ class Backend:
         # culling, unlike list indices): (fid_i, fid_j, T_ij, weight)
         self.odom_edges: List[Tuple[int, int, np.ndarray, float]] = []
         self.loop_edges: List[Tuple[int, int, np.ndarray, float]] = []
+        # per-detect retrieval-margin telemetry (query, best/second
+        # similarity, verification outcome) — drive records surface it
+        self.loop_log: List[dict] = []
+        # per-window best redundancy fraction (cull trigger proximity)
+        self.cull_margins: List[float] = []
         # last BA window's observation mask — the covisibility evidence
         # keyframe culling reads (cull_redundant)
         self._last_window_ids: Optional[np.ndarray] = None
         self._last_window_mask: Optional[np.ndarray] = None
 
-        # build and solve stay SEPARATE jitted programs on purpose: fusing
-        # them under one jit changes XLA's fusion/rounding in the solve,
-        # and the flagship drive's trajectory is chaotically sensitive to
-        # BA rounding (measured: the fused program moved 544-frame ATE
-        # 0.229 m -> 0.819 m with identical inputs). The RTT win comes
+        # build and solve stay SEPARATE jitted programs on purpose. On a
+        # fixed compiler stack the fused program is bit-identical — but
+        # fusing moves the compiled-program boundary that the recorded
+        # drive baselines were measured on, and the trajectory is
+        # chaotically sensitive to any rounding change at that boundary
+        # (the observed 0.229 m -> 0.819 m flagship shift was COMPILER-
+        # STACK drift at identical code, not the fusion itself; see
+        # RESULTS.md "Compiler-stack numerics drift"). The RTT win comes
         # from the ONE packed fetch in local_ba instead.
         self._build = jax.jit(functools.partial(build_window_problem, cfg=cfg))
         self._ba = jax.jit(
@@ -308,6 +316,10 @@ class Backend:
         )
         fixed = jnp.arange(K) <= pad
         import time as _time
+        # NOTE last_ba_ms semantics (since round 3): the timer starts
+        # BEFORE the build dispatch, so it covers build + solve + the
+        # packed fetch. Rounds <= 2 recorded solve+fetch only — compare
+        # across rounds accordingly (build dispatch is ~one RTT).
         t0 = _time.perf_counter()
         problem = self._build(fl, fr, T, fixed=fixed)
         res = self._ba(problem)
@@ -373,6 +385,7 @@ class Backend:
         first_fid = self.keyframes[0].frame_id
         obs_per_lm = mask.sum(axis=1)
         best_j, best_frac = None, min_frac
+        margin = 0.0        # best redundancy fraction seen, threshold-free
         for j in range(k - 1):                   # never the newest
             fid = int(ids[j])
             if fid == first_fid or fid in loop_fids:
@@ -382,8 +395,13 @@ class Backend:
             if n < min_obs:
                 continue
             frac = float((col & (obs_per_lm >= 4)).sum()) / n
+            margin = max(margin, frac)
             if frac >= best_frac:
                 best_j, best_frac = j, frac
+        # telemetry: how close the window came to a cull (a drive-scale
+        # culled=0 is only meaningful with this visible — VERDICT r3
+        # weak 5: the trigger was unobservably far from firing)
+        self.cull_margins.append(round(margin, 3))
         if best_j is None:
             return []
         fid = int(ids[best_j])
@@ -431,7 +449,19 @@ class Backend:
         qi = len(self.keyframes) - 1
         q = self.keyframes[qi]
         sims = self._scores_for(q.signature, self.keyframes[: qi - min_gap])
-        order = [int(ci) for ci in np.argsort(-sims)[:top_k]
+        ranked = np.argsort(-sims)
+        # retrieval-margin telemetry: how close the best candidate sits to
+        # the acceptance threshold and to the runner-up — makes a thinning
+        # loop rate observable instead of inferred (VERDICT r3 weak 7)
+        log = dict(
+            query=int(q.frame_id),
+            sim_best=round(float(sims[ranked[0]]), 4) if len(ranked) else None,
+            sim_second=(round(float(sims[ranked[1]]), 4)
+                        if len(ranked) > 1 else None),
+            thresh=min_similarity, accepted=None, inliers=0,
+        )
+        self.loop_log.append(log)
+        order = [int(ci) for ci in ranked[:top_k]
                  if sims[ci] >= min_similarity]
         if not order:
             return None
@@ -448,8 +478,10 @@ class Backend:
         T_rel, n_inl, ok = jax.device_get(self._verify_batch(
             q.feats_l, q.feats_r, cl, cr, keys))
         for k, ci in enumerate(order):
+            log["inliers"] = max(log["inliers"], int(n_inl[k]))
             if not bool(ok[k]) or int(n_inl[k]) < min_inliers:
                 continue
+            log["accepted"] = int(self.keyframes[ci].frame_id)
             cand = self.keyframes[ci]
             # T_rel maps cand-frame points to query-frame: T_cand_query = ?
             # estimate_stereo_motion treats (cand)=prev, (query)=curr:

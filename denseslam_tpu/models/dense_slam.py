@@ -34,6 +34,7 @@ from ..config import SystemConfig
 from ..ops import icp as icp_ops
 from ..ops import raycast as rc_ops
 from ..ops import stereo as stereo_ops
+from ..ops import hash as vhash
 from ..ops import tsdf as tsdf_ops
 from ..utils import lie
 from ..utils.image import bilateral_filter_depth, rgb_to_gray
@@ -435,6 +436,11 @@ class SubmapManager:
         # replay de-fuses at the DB's stored fused pose, so only the
         # LATEST optimised pose per frame matters.
         self.pending_corrections: List[dict] = []
+        # clean-restore cache: (host map, host db) kept after a restore so
+        # an untouched submap evicts without re-fetching its pool; dirty
+        # marks device-side mutations that invalidate it
+        self._spill_cache: List[Optional[tuple]] = []
+        self.dirty: List[bool] = []
         self.num_evictions = 0
         self.num_restores = 0
         self.create_new(np.eye(4, dtype=np.float32), anchor_frame_id=0)
@@ -447,6 +453,8 @@ class SubmapManager:
         self.spawn_poses.append(np.asarray(T_global))
         self.anchor_frames.append(int(anchor_frame_id))
         self.pending_corrections.append({})
+        self._spill_cache.append(None)
+        self.dirty.append(True)
         # a spawn is when the device footprint jumps by one pool + DB —
         # the natural memory-pressure checkpoint
         self.enforce_memory_budget()
@@ -541,19 +549,111 @@ class SubmapManager:
     # DB travels with its submap (it is the larger array at KITTI res:
     # capacity x HxW x f32 x 2 planes) so eviction actually frees HBM.
 
+    _SPILL_GRAN = 4096          # row-count bucket: bounds executable count
+
+    def _npad(self, n: int, s: int) -> int:
+        g = self._SPILL_GRAN
+        return min(((max(n, 1) + g - 1) // g) * g, s)
+
+    # jit re-specializes per row-count bucket; _npad bounds the variants
+    _gather_rows = staticmethod(jax.jit(tsdf_ops.gather_block_rows))
+    _rebuild_rows = staticmethod(jax.jit(tsdf_ops.rebuild_from_rows))
+
     def evict_to_host(self, idx: int) -> None:
         if self.is_on_host(idx):
             return
-        self.maps[idx] = jax.tree.map(np.asarray, self.maps[idx])
+        if not self.dirty[idx] and self._spill_cache[idx] is not None:
+            # the device copy is an untouched restore (eval-only render):
+            # the host copy is still exact — drop the device arrays free
+            self.maps[idx], self.dbs[idx] = self._spill_cache[idx]
+            self._spill_cache[idx] = None
+            self.num_evictions += 1
+            return
+        m = self.maps[idx]
+        s = m.num_slots
+        keys = np.asarray(m.table.keys)
+        slots = np.flatnonzero(keys != vhash.EMPTY_KEY).astype(np.int32)
+        n = int(slots.size)
+        npad = self._npad(n, s)
+        if npad < s:
+            # valid-block compaction: cross the host boundary with only
+            # the allocated rows (reference block-granular swapping,
+            # DenseSlam.h:248-251); the host copy is re-expanded to the
+            # ordinary full numpy MapState so every downstream consumer
+            # (checkpoint, replay, telemetry) is format-agnostic
+            pad_slots = np.zeros((npad,), np.int32)
+            pad_slots[:n] = slots
+            rows = jax.device_get(
+                self._gather_rows(m, jnp.asarray(pad_slots))
+                + (m.frame, m.decayed_blocks, m.overflow))
+            keys_r, tsdf_r, w_r, c_r, af_r, ls_r, fr, dec, ovf = rows
+            full = tsdf_ops.MapState(
+                table=vhash.HashTable(
+                    keys=np.full((s,), vhash.EMPTY_KEY, np.int32)),
+                tsdf=np.ones((s,) + m.tsdf.shape[1:], tsdf_r.dtype),
+                weight=np.zeros((s,) + m.weight.shape[1:], w_r.dtype),
+                color=np.zeros((s,) + m.color.shape[1:], np.int32),
+                alloc_frame=np.zeros((s,), np.int32),
+                last_seen=np.zeros((s,), np.int32),
+                frame=np.asarray(fr), decayed_blocks=np.asarray(dec),
+                overflow=np.asarray(ovf),
+            )
+            full.table.keys[slots] = keys_r[:n]
+            full.tsdf[slots] = tsdf_r[:n]
+            full.weight[slots] = w_r[:n]
+            full.color[slots] = c_r[:n]
+            full.alloc_frame[slots] = af_r[:n]
+            full.last_seen[slots] = ls_r[:n]
+            self.maps[idx] = full
+        else:
+            self.maps[idx] = jax.tree.map(np.asarray, m)
         self.dbs[idx] = jax.tree.map(np.asarray, self.dbs[idx])
+        self._spill_cache[idx] = None
         self.num_evictions += 1
 
     def restore_to_device(self, idx: int) -> None:
         if not self.is_on_host(idx):
             return
-        self.maps[idx] = jax.tree.map(jnp.asarray, self.maps[idx])
+        m = self.maps[idx]          # full numpy MapState
+        host_copy = (m, self.dbs[idx])
+        s = m.tsdf.shape[0]
+        keys = np.asarray(m.table.keys)
+        slots = np.flatnonzero(keys != vhash.EMPTY_KEY).astype(np.int32)
+        n = int(slots.size)
+        npad = self._npad(n, s)
+        if npad < s:
+            inv = np.full((s,), npad, np.int32)   # npad = sentinel row
+            inv[slots] = np.arange(n, dtype=np.int32)
+
+            def pad_rows(a, fill):
+                out = np.full((npad,) + a.shape[1:], fill, a.dtype)
+                out[:n] = a[slots]
+                return out
+
+            dev = self._rebuild_rows(
+                jnp.asarray(inv),
+                jnp.asarray(pad_rows(keys, vhash.EMPTY_KEY)),
+                jnp.asarray(pad_rows(m.tsdf, 1)),
+                jnp.asarray(pad_rows(m.weight, 0)),
+                jnp.asarray(pad_rows(m.color, 0)),
+                jnp.asarray(pad_rows(m.alloc_frame, 0)),
+                jnp.asarray(pad_rows(m.last_seen, 0)),
+                jnp.asarray(m.frame), jnp.asarray(m.decayed_blocks),
+                jnp.asarray(m.overflow))
+            self.maps[idx] = dev
+        else:
+            self.maps[idx] = jax.tree.map(jnp.asarray, m)
         self.dbs[idx] = jax.tree.map(jnp.asarray, self.dbs[idx])
+        # keep the host copy: if nothing dirties the device copy, the
+        # next evict is free (composite-eval restore-render-evict cycles)
+        self._spill_cache[idx] = host_copy
+        self.dirty[idx] = False
         self.num_restores += 1
+
+    def mark_dirty(self, idx: int) -> None:
+        """Device-side content changed; the spill cache is stale."""
+        self.dirty[idx] = True
+        self._spill_cache[idx] = None
 
     def is_on_host(self, idx: int) -> bool:
         return isinstance(self.maps[idx].tsdf, np.ndarray)
@@ -978,6 +1078,7 @@ class DenseSLAM:
                                  jnp.asarray(opt_T), jnp.asarray(opt_valid))
         self.submaps.maps[si] = m
         self.submaps.dbs[si] = db
+        self.submaps.mark_dirty(si)
 
     def apply_pose_updates(self, frame_ids: np.ndarray, poses: np.ndarray) -> int:
         """Feed backend-optimised poses; runs OnlineCorrection on EVERY
@@ -1043,6 +1144,7 @@ class DenseSLAM:
                 jnp.asarray(opt_T), jnp.asarray(opt_valid))
             self.submaps.maps[si] = m
             self.submaps.dbs[si] = db
+            self.submaps.mark_dirty(si)
             nums.append(num)
         self.submaps.enforce_memory_budget()
         # one sync for every submap's re-fuse counter (int(num) inside the
@@ -1085,24 +1187,30 @@ class DenseSLAM:
     def get_preview(self, kind: str, T_wc: Optional[jax.Array] = None):
         return rc_ops.render_preview(self.raycast_view(T_wc), kind)
 
-    def raycast_composite(self, T_wc: Optional[jax.Array] = None) -> rc_ops.Raycast:
+    def raycast_composite(self, T_wc: Optional[jax.Array] = None,
+                          respill: bool = True) -> rc_ops.Raycast:
         """Raycast across ALL device-resident submaps, min-depth combined —
         the multi-local-map rendering the reference gets from
         ITMVoxelMapGraphManager's composite visualisation. Each submap is
         rendered under its CURRENT alignment correction (delta = optimised
         global anchor pose relative to spawn — estimatedGlobalPose role),
-        so pose-graph updates visibly realign the composite."""
+        so pose-graph updates visibly realign the composite.
+
+        respill=False leaves restored submaps device-resident (callers
+        rendering a BURST of composite views — the drive's eval frames —
+        re-enforce the memory budget afterwards; a clean, unmutated
+        restore then evicts for free via the spill cache)."""
         T = T_wc if T_wc is not None else jnp.asarray(self.fe_state.T_wc)
         best: Optional[rc_ops.Raycast] = None
         for idx in range(self.submaps.num_local_maps):
-            respill = False
+            respill_this = False
             if self.submaps.is_on_host(idx):
                 # spilled submaps still appear in the composite: restore
                 # (replaying deferred corrections), render, spill back —
                 # the reference's swapped-out submaps round-trip through
                 # the swapping engine the same way
                 self.restore_submap(idx)
-                respill = True
+                respill_this = respill
             D = jnp.asarray(self.submaps.delta(idx))
             # render the submap as if its content were rigidly moved by D:
             # camera inv(D) @ T sees map-frame content exactly as T sees
@@ -1121,8 +1229,8 @@ class DenseSLAM:
             nrm = (rc.normals.reshape(-1, 3) @ D[:3, :3].T).reshape(
                 rc.normals.shape)
             rc = rc._replace(points=pts, normals=nrm)
-            if respill:   # rendered image is its own buffer; drop the pool
-                self.submaps.evict_to_host(idx)
+            if respill_this:   # rendered image is its own buffer
+                self.submaps.evict_to_host(idx)   # free when clean
             if best is None:
                 best = rc
                 continue
@@ -1138,7 +1246,35 @@ class DenseSLAM:
         return best
 
     def memory_bytes(self) -> int:
-        return int(tsdf_ops.used_memory_bytes(self.submaps.active))
+        """ITMVoxel-equivalent used-map bytes across ALL submaps, device
+        AND host-spilled (the reference's memory telemetry is whole-map,
+        reference: DenseSLAMGUI.cpp:568-595 + InfiniTamDriver.h:333-352).
+        Counting only the active submap under-reported a multi-submap
+        drive as 0.0 MB while 7 submaps were alive (round-3 record)."""
+        blocks = sum(self.submaps.local_map_size(i)
+                     for i in range(len(self.submaps.maps)))
+        return blocks * 16 * tsdf_ops.BLOCK_VOL
+
+    def memory_report(self) -> dict:
+        """Per-submap memory split for telemetry: used map bytes by
+        residency, plus true HBM footprint of the fixed pools."""
+        dev_used = host_used = 0
+        for i in range(len(self.submaps.maps)):
+            b = self.submaps.local_map_size(i) * 16 * tsdf_ops.BLOCK_VOL
+            if self.submaps.is_on_host(i):
+                host_used += b
+            else:
+                dev_used += b
+        return dict(
+            used_device_mb=round(dev_used / 1e6, 1),
+            used_host_mb=round(host_used / 1e6, 1),
+            hbm_footprint_mb=round(
+                self.submaps.device_memory_bytes() / 1e6, 1),
+            submaps=len(self.submaps.maps),
+            submaps_on_host=sum(
+                1 for i in range(len(self.submaps.maps))
+                if self.submaps.is_on_host(i)),
+        )
 
     def save_mesh(self, path: str) -> int:
         """Marching-tetrahedra OBJ export of the active submap

@@ -36,7 +36,10 @@ class FrontendState(NamedTuple):
     key: jax.Array               # PRNG key for RANSAC sampling
     frame: jax.Array             # i32 frame counter
     img_l: jax.Array             # (H, W) previous exposure-compensated left
-                                 # image — the gain-estimation anchor
+                                 # image — gain-estimation + subpixel-
+                                 # refinement anchor
+    img_r: jax.Array             # (H, W) previous right image (subpixel
+                                 # refinement of the rp quad corner)
     exposure: jax.Array          # f32 scalar multiplicative exposure
                                  # compensation (matcher gain loop,
                                  # reference: matcher.cpp:291-333)
@@ -84,6 +87,7 @@ def init_frontend(cfg: SystemConfig, T_init: jax.Array | None = None,
         key=jax.random.PRNGKey(seed),
         frame=jnp.zeros((), jnp.int32),
         img_l=jnp.zeros((h, w), jnp.float32),
+        img_r=jnp.zeros((h, w), jnp.float32),
         exposure=jnp.ones((), jnp.float32),
     )
 
@@ -129,6 +133,14 @@ def vo_step(
     else:
         q = matching.quad_match(f_lc, f_rc, state.feats_l, state.feats_r, fc)
     q = matching.remove_outliers(q, fc)
+    if fc.subpixel_refine:
+        # Re-anchor the matched positions to the physical surface patch by
+        # direct correlation on the raw images — detector peak-locking is
+        # the dominant VO noise term (see refine_quad_subpix docstring).
+        # Frame 0's prev images are zeros, but every quad is invalid then.
+        q = matching.refine_quad_subpix(q, state.img_l, state.img_r,
+                                        left, right, fc,
+                                        T_pred=state.T_delta_prev, rig=cfg.rig)
     if fc.use_motion_prior_gate:
         # XLA CSE merges this with quad_match's internal stereo match
         disp_lc, disp_rc = matching.stereo_disparities(f_lc, f_rc, fc)
@@ -155,10 +167,8 @@ def vo_step(
             q.valid & state.initialized)
         g = jnp.clip(g, 0.7, 1.4)   # trust region per frame
         exposure = jnp.clip(state.exposure / g, 0.25, 4.0)
-        img_l = left
     else:
         exposure = state.exposure
-        img_l = state.img_l
 
     new_state = FrontendState(
         feats_l=f_lc,
@@ -171,7 +181,8 @@ def vo_step(
         prior_ok=use_est,
         key=key,
         frame=state.frame + 1,
-        img_l=img_l,
+        img_l=left,          # compensated frames: next step's anchors
+        img_r=right,
         exposure=exposure,
     )
     out = VOOutput(
@@ -233,10 +244,21 @@ def rgbd_vo_step(
     disp_lp = state.disp_l[jnp.maximum(m, 0)]
     ok = ok & (disp_lp > 0.5)
     uv_lp = state.feats_l.uv[jnp.maximum(m, 0)]
+    uv_lc_m = f_lc.uv
+    if fc.subpixel_refine:
+        # temporal-leg refinement only: the right views are VIRTUAL
+        # (disparity synthesized from sensor depth), so only the real
+        # lp -> lc correspondence has image support to correlate.
+        anchor = matching._bilinear_patches(state.img_l, uv_lp,
+                                            fc.refine_patch // 2)
+        uv_lc_m = matching._refine_leg(anchor, gray, f_lc.uv,
+                                       fc.refine_patch // 2,
+                                       fc.refine_search, du_only=False)
+        uv_lc_m = jnp.where(ok[:, None], uv_lc_m, f_lc.uv)
     q = matching.QuadMatches(
         idx_lc=i_lc, idx_rc=i_lc, idx_lp=m, idx_rp=m,
-        uv_lc=f_lc.uv,
-        uv_rc=f_lc.uv - jnp.stack([disp_lc, jnp.zeros_like(disp_lc)], -1),
+        uv_lc=uv_lc_m,
+        uv_rc=uv_lc_m - jnp.stack([disp_lc, jnp.zeros_like(disp_lc)], -1),
         uv_lp=uv_lp,
         uv_rp=uv_lp - jnp.stack([disp_lp, jnp.zeros_like(disp_lp)], -1),
         valid=ok,
@@ -263,7 +285,8 @@ def rgbd_vo_step(
         prior_ok=use_est,
         key=key,
         frame=state.frame + 1,
-        img_l=state.img_l,
+        img_l=gray,
+        img_r=state.img_r,
         exposure=state.exposure,
     )
     out = VOOutput(
@@ -297,6 +320,13 @@ def mono_vo_step(
     valid = (m >= 0) & f_lc.valid
     uv_prev = state.feats_l.uv[jnp.maximum(m, 0)]
     uv_curr = f_lc.uv
+    if fc.subpixel_refine:
+        anchor = matching._bilinear_patches(state.img_l, uv_prev,
+                                            fc.refine_patch // 2)
+        uv_ref = matching._refine_leg(anchor, left, uv_curr,
+                                      fc.refine_patch // 2,
+                                      fc.refine_search, du_only=False)
+        uv_curr = jnp.where(valid[:, None], uv_ref, uv_curr)
     if fc.outlier_removal:
         valid = matching.flow_consensus(
             uv_curr,
@@ -315,7 +345,14 @@ def mono_vo_step(
     sc = mono.estimate_scale_ground(
         res.T_delta, uv_prev, uv_curr, res.inliers, intr,
         fc.camera_height_m, fc.camera_pitch_rad)
-    T_est = mono.apply_scale(res.T_delta, sc.scale)
+    # No visible ground -> hold the previous frame's metric speed instead
+    # of the raw unit-norm pose (the reference likewise keeps the last
+    # motion when mono scale is unobservable, viso_mono fallback).
+    prev_speed = jnp.linalg.norm(state.T_delta_prev[:3, 3])
+    scale_fb = jnp.where(state.initialized & (prev_speed > 1e-6),
+                         prev_speed, 1.0)
+    T_est = mono.apply_scale(res.T_delta,
+                             jnp.where(sc.ok, sc.scale, scale_fb))
 
     use_est = state.initialized & res.ok
     T_delta = jnp.where(use_est, T_est, state.T_delta_prev)
@@ -333,7 +370,8 @@ def mono_vo_step(
         prior_ok=use_est,
         key=key,
         frame=state.frame + 1,
-        img_l=state.img_l,
+        img_l=left,
+        img_r=state.img_r,
         exposure=state.exposure,
     )
     out = VOOutput(

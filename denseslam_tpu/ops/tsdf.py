@@ -608,6 +608,58 @@ def reset(m: MapState, cfg: TsdfConfig) -> MapState:
     return make_map(cfg)
 
 
+def gather_block_rows(m: MapState, slots: jax.Array):
+    """Compact tunnel-crossing form of a map: the rows of the given slot
+    indices (Npad,), plus table keys. The swap path's analogue of the
+    reference's block-granular ITMSwappingEngine transfers
+    (reference: src/DenseSLAM/DenseSlam.h:248-251) — the fixed pool is
+    ~90-95% empty slots at street scale, so fetching only allocated rows
+    cuts host<->device spill traffic ~10x. Pure gathers: no scatter, no
+    sort (hot-path compile rules, ops/hash.py / CLAUDE.md)."""
+    return (m.table.keys[slots], m.tsdf[slots], m.weight[slots],
+            m.color[slots], m.alloc_frame[slots], m.last_seen[slots])
+
+
+def rebuild_from_rows(
+    inv_perm: jax.Array,        # (S,) int32: full-slot -> row index;
+                                # rows.shape[0] (== Npad) selects "empty"
+    keys_r: jax.Array,          # (Npad,)
+    tsdf_r: jax.Array,          # (Npad, 512)
+    weight_r: jax.Array,
+    color_r: jax.Array,
+    af_r: jax.Array,            # (Npad,)
+    ls_r: jax.Array,
+    frame: jax.Array,
+    decayed_blocks: jax.Array,
+    overflow: jax.Array,
+) -> MapState:
+    """Inverse of gather_block_rows: reconstruct the full fixed pool from
+    compact rows via ONE gather per plane (a sentinel empty row is
+    appended so unallocated slots read empty/free-space values — no
+    scatter ever runs)."""
+    keys_p = jnp.concatenate(
+        [keys_r, jnp.full((1,), vhash.EMPTY_KEY, jnp.int32)])
+    tsdf_p = jnp.concatenate(
+        [tsdf_r, jnp.ones((1, BLOCK_VOL), tsdf_r.dtype)])
+    weight_p = jnp.concatenate(
+        [weight_r, jnp.zeros((1, BLOCK_VOL), weight_r.dtype)])
+    color_p = jnp.concatenate(
+        [color_r, jnp.zeros((1, BLOCK_VOL), jnp.int32)])
+    af_p = jnp.concatenate([af_r, jnp.zeros((1,), jnp.int32)])
+    ls_p = jnp.concatenate([ls_r, jnp.zeros((1,), jnp.int32)])
+    return MapState(
+        table=vhash.HashTable(keys=keys_p[inv_perm]),
+        tsdf=tsdf_p[inv_perm],
+        weight=weight_p[inv_perm],
+        color=color_p[inv_perm],
+        alloc_frame=af_p[inv_perm],
+        last_seen=ls_p[inv_perm],
+        frame=jnp.asarray(frame, jnp.int32),
+        decayed_blocks=jnp.asarray(decayed_blocks, jnp.int32),
+        overflow=jnp.asarray(overflow, jnp.int32),
+    )
+
+
 def advance_frame(m: MapState) -> MapState:
     return m._replace(frame=m.frame + 1)
 

@@ -63,6 +63,12 @@ def main() -> None:
                     help="blank (zero) frames [START, START+LEN) to "
                     "exercise tracking loss + relocalization (the "
                     "reference's tracker recovery, DenseSlam.cpp:89-96)")
+    ap.add_argument("--dwell", default=None, metavar="START:LEN",
+                    help="hold the camera stationary for LEN frames at "
+                    "frame START (an intersection stop): coincident "
+                    "keyframes make keyframe culling genuinely fire "
+                    "(reference: ORB-SLAM2 KeyFrameCulling + fused-frame "
+                    "purge, DenseSlam.cpp:417-429)")
     ap.add_argument("--prefetch", action="store_true",
                     help="pipeline chunk k+1's scan dispatch under chunk "
                     "k's eval/telemetry (SLAMSystem.prefetch_chunk). WINS "
@@ -153,9 +159,21 @@ def main() -> None:
         n_total += args.chunk - (n_total % args.chunk)
         print(f"(extending closure to {n_total} total frames: "
               f"chunk-multiple batches avoid a tail-shape recompile)")
+    dwell = None
+    if args.dwell:
+        d0, dlen = (int(x) for x in args.dwell.split(":"))
+        dwell = (d0, dlen)
+    n_path = n_total - (dwell[1] if dwell else 0)
     gt = synthetic.make_loop_trajectory(args.frames, radius_m=args.radius,
-                                        closure_frames=n_total - args.frames)
+                                        closure_frames=n_path - args.frames)
     scene = synthetic.loop_scene(gt)
+    if dwell:
+        # time-warp: pause the trajectory for dlen frames at d0 (the
+        # scene/path itself is unchanged; the closure still happens)
+        idx = np.concatenate([np.arange(dwell[0]),
+                              np.full(dwell[1], dwell[0]),
+                              np.arange(dwell[0], n_path)])
+        gt = gt[idx]
     rng = np.random.default_rng(0)
 
     system = SLAMSystem(cfg, ba_every=4, loop_every=2)
@@ -348,8 +366,13 @@ def main() -> None:
             T_est = jnp.asarray(T_est)
             if len(system.slam.submaps.maps) > 1:
                 # multi-submap run: score the composite (active map alone
-                # misses geometry owned by earlier submaps)
-                rc = np.asarray(system.slam.raycast_composite(T_est).depth)
+                # misses geometry owned by earlier submaps). respill=False:
+                # spilled submaps stay resident for the whole eval burst
+                # (round-3 record paid a ~190 MB restore+evict round trip
+                # PER eval frame -> 0.4 fps); the budget is re-enforced
+                # right after, and clean restores evict for free
+                rc = np.asarray(system.slam.raycast_composite(
+                    T_est, respill=False).depth)
             else:
                 rc = np.asarray(system.slam.raycast_view(T_est).depth)
             _, gt_at_est = synthetic.render_view(T_est, intr, scene)
@@ -370,6 +393,10 @@ def main() -> None:
             dm_in_acc.append(depth_metrics.depth_metrics(
                 d_in, gtd, min_depth=z_floor,
                 max_depth=cfg.tsdf.max_depth_m))
+        if eval_frames and len(system.slam.submaps.maps) > 1:
+            # re-enforce the budget after the eval burst (composite ran
+            # with respill=False); untouched restores evict for free
+            system.slam.submaps.enforce_memory_budget()
         eval_s += time.perf_counter() - te
         _prefetch_next()
 
@@ -416,7 +443,18 @@ def main() -> None:
         phase_s={k: round(v, 1) for k, v in sorted(system.phase_s.items())},
         tracking_lost_frames=lost,
         loops=system.num_loops, corrections=system.num_corrections,
+        # retrieval-margin telemetry: accepted detections + the
+        # best-rejected candidate per detect call (VERDICT r3 item 10)
+        loop_margins=[lg for lg in system.backend.loop_log
+                      if lg["sim_best"] is not None][-40:],
         culled=system.num_culled, relocs=system.num_relocs,
+        dwell=args.dwell,
+        # redundancy-fraction the cull trigger saw per BA window (how far
+        # from firing culling sat over the drive)
+        cull_margin_max=(max(system.backend.cull_margins)
+                         if system.backend.cull_margins else None),
+        cull_margin_last10=[round(x, 3)
+                            for x in system.backend.cull_margins[-10:]],
         ba_rejects=system.backend.ba_rejects,
         pg_rejects=system.backend.pg_rejects,
         keyframes=system.backend.num_keyframes,
@@ -425,6 +463,7 @@ def main() -> None:
             1 for i in range(len(system.slam.submaps.maps))
             if system.slam.submaps.is_on_host(i)),
         final_map_mb=round(system.memory_bytes() / 1e6, 1),
+        memory=system.slam.memory_report(),
         ate_rmse_m=round(ate, 4), end_error_m=round(end_err, 4),
         **{k: round(v, 5) for k, v in rpe_d.items()},
         **{("kitti_" + k): round(v, 5) for k, v in kitti.items()},

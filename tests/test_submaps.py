@@ -198,3 +198,47 @@ def test_memory_budget_spills_and_restores(cfg):
     slam.apply_pose_updates(np.array([4]), gt[4][None])
     assert not slam.submaps.pending_corrections[0]
     assert slam.submaps.num_restores == restores_before + 1
+
+
+def test_compact_spill_roundtrip_bit_exact(cfg):
+    """Valid-block compaction (gather_block_rows / rebuild_from_rows —
+    the block-granular ITMSwappingEngine transfer, reference
+    DenseSlam.h:248-251): evict -> restore -> evict must reproduce the
+    map bit-exactly, and the tunnel-crossing form must be ~occupancy-
+    sized, not pool-sized."""
+    import jax
+
+    slam = DenseSLAM(cfg)
+    gt = synthetic.make_trajectory(3, step_m=0.06, yaw_rate=0.01)
+    for i in range(3):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(gt[i]))
+    sm = slam.submaps
+    before = jax.tree.map(np.asarray, sm.maps[0])
+
+    sm.evict_to_host(0)
+    host0 = sm.maps[0]
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(host0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    sm.restore_to_device(0)
+    assert not sm.is_on_host(0)
+    after = jax.tree.map(np.asarray, sm.maps[0])
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # clean (unmutated) restore evicts for FREE via the spill cache:
+    # the host copy object is reused, no fetch program runs
+    assert sm._spill_cache[0] is not None and not sm.dirty[0]
+    sm.evict_to_host(0)
+    assert sm.maps[0] is host0
+
+    # dirty restore re-fetches: mutate on device, evict, verify content
+    sm.restore_to_device(0)
+    sm.maps[0] = sm.maps[0]._replace(tsdf=sm.maps[0].tsdf * 0.5)
+    sm.mark_dirty(0)
+    sm.evict_to_host(0)
+    np.testing.assert_allclose(
+        np.asarray(sm.maps[0].tsdf).astype(np.float32),
+        np.asarray(before.tsdf).astype(np.float32) * 0.5, rtol=2e-2)
