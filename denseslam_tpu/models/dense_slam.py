@@ -446,8 +446,12 @@ class SubmapManager:
         self.create_new(np.eye(4, dtype=np.float32), anchor_frame_id=0)
 
     def create_new(self, T_global: np.ndarray,
-                   anchor_frame_id: int = -1) -> int:
-        self.maps.append(tsdf_ops.make_map(self.cfg.tsdf))
+                   anchor_frame_id: int = -1,
+                   map_state: Optional[tsdf_ops.MapState] = None) -> int:
+        """map_state overrides the fresh pool (sharded mode spawns a
+        sharded ACTIVE map instead of a single-chip one)."""
+        self.maps.append(map_state if map_state is not None
+                         else tsdf_ops.make_map(self.cfg.tsdf))
         self.dbs.append(make_fusion_db(self.cfg))
         self.global_poses.append(np.asarray(T_global))
         self.spawn_poses.append(np.asarray(T_global))
@@ -1021,18 +1025,31 @@ class DenseSLAM:
         thr = cfg.pipeline.new_submap_threshold
         if thr < 0:
             return False
-        if self._sharded is not None:
-            # sharded mode shards the ACTIVE map; spawning would demote it
-            # to a single-chip inactive submap — unsupported for now
-            return False
         visible, size = (int(x) for x in jax.device_get(
             self._spawn_stats(self.submaps.active)))
         if not self.submaps.should_start_new(visible, thr, size=size):
             return False
         # the old submap keeps its fusion DB (its correction history
         # stays replayable); the new one starts fresh
-        self.submaps.create_new(np.asarray(T_wc),
-                                anchor_frame_id=self.frame)
+        if self._sharded is not None:
+            # sharded mode shards the ACTIVE map only: demote the old
+            # active to a probe-consistent single-chip submap that starts
+            # life HOST-SPILLED (its deferred-correction replay is already
+            # ownership-agnostic), and spawn a fresh SHARDED active map —
+            # composing the multi-local-map machinery
+            # (createNewLocalMap/estimatedGlobalPose,
+            # reference: DenseSlam.cpp:133-148) with the distribution axis
+            old_idx = self.submaps.active_idx
+            self.submaps.maps[old_idx] = self._sharded.gather_to_single(
+                self.submaps.active, as_numpy=True)
+            self.submaps.dbs[old_idx] = jax.tree.map(
+                np.asarray, self.submaps.dbs[old_idx])
+            self.submaps.create_new(np.asarray(T_wc),
+                                    anchor_frame_id=self.frame,
+                                    map_state=self._sharded.make_map())
+        else:
+            self.submaps.create_new(np.asarray(T_wc),
+                                    anchor_frame_id=self.frame)
         self.submaps.enforce_memory_budget()
         return True
 

@@ -371,7 +371,8 @@ class ShardedTsdf:
             dataclasses.replace(self.cfg.tsdf), self.mesh
         )
 
-    def gather_to_single(self, m: tsdf_ops.MapState) -> tsdf_ops.MapState:
+    def gather_to_single(self, m: tsdf_ops.MapState,
+                         as_numpy: bool = False) -> tsdf_ops.MapState:
         """Repack the sharded map into a probe-consistent SINGLE-CHIP
         MapState. The gathered table cannot be used directly: each shard
         hashes keys modulo its LOCAL slot count, so slot positions are
@@ -417,24 +418,29 @@ class ShardedTsdf:
         ok = slot_of >= 0
         src, dst = idx[ok], slot_of[ok]
 
+        # as_numpy: keep the repacked map HOST-side (submap demotion on
+        # spawn — the demoted map starts life spilled, see
+        # DenseSLAM.maybe_spawn_submap)
+        conv = (lambda a: np.asarray(a)) if as_numpy else jnp.asarray
+
         def scat(init, hostarr):
             out = np.asarray(init)
             out[dst] = np.asarray(hostarr)[src]
-            return jnp.asarray(out)
+            return conv(out)
 
-        sd = tsdf_ops.storage_dtype(cfg)
+        # host.tsdf already carries the configured storage dtype
         one = np.ones((S, tsdf_ops.BLOCK_VOL), np.asarray(host.tsdf).dtype)
         return tsdf_ops.MapState(
-            table=vhash.HashTable(keys=jnp.asarray(new_keys)),
-            tsdf=scat(one, host.tsdf).astype(sd),
-            weight=scat(np.zeros_like(one), host.weight).astype(sd),
+            table=vhash.HashTable(keys=conv(new_keys)),
+            tsdf=scat(one, host.tsdf),
+            weight=scat(np.zeros_like(one), host.weight),
             color=scat(np.zeros((S, tsdf_ops.BLOCK_VOL), np.int32),
                        host.color),
             alloc_frame=scat(np.zeros((S,), np.int32), host.alloc_frame),
             last_seen=scat(np.zeros((S,), np.int32), host.last_seen),
-            frame=jnp.asarray(host.frame),
-            decayed_blocks=jnp.asarray(host.decayed_blocks),
-            overflow=jnp.asarray(host.overflow),
+            frame=conv(np.asarray(host.frame)),
+            decayed_blocks=conv(np.asarray(host.decayed_blocks)),
+            overflow=conv(np.asarray(host.overflow)),
         )
 
     def num_blocks(self, m) -> int:
