@@ -279,6 +279,63 @@ def process_sequence(
     return fe_state, m, db, stats
 
 
+def _virtual_right_features(feats_l, disp: jax.Array):
+    """Virtual right-view features from per-feature (virtual) disparity —
+    the RGB-D sensor's depth expressed in the backend's stereo currency
+    (the rgbd_vo_step trick extended to keyframe registration): BA
+    triangulation, loop verification and relocalization all run their
+    stereo programs unchanged on RGB-D keyframes."""
+    ok = disp > 0.5
+    uv_r = feats_l.uv - jnp.stack(
+        [jnp.maximum(disp, 0.5), jnp.zeros_like(disp)], axis=-1)
+    return feats_l._replace(uv=uv_r, valid=feats_l.valid & ok)
+
+
+def process_sequence_rgbd(
+    fe_state: "fe.FrontendState",
+    m: tsdf_ops.MapState,
+    db: FusionDB,
+    grays: jax.Array,       # (N, H, W) gray
+    depths: jax.Array,      # (N, H, W) sensor depth, meters (0 = hole)
+    frame_ids: jax.Array,   # (N,) i32
+    cfg: SystemConfig,
+) -> Tuple["fe.FrontendState", tsdf_ops.MapState, FusionDB, dict]:
+    """RGB-D throughput path (reference: Input.h:30-35 RGBD sensor +
+    orbTrackRGBD): same one-scan design as `process_sequence`, but motion
+    comes from `rgbd_vo_step` (depth-synthesized virtual right views) and
+    fusion consumes the SENSOR depth directly — no stereo matcher runs."""
+
+    def body(carry, inp):
+        fe_state, m, db = carry
+        g, d, fid = inp
+        fe_state, vo = fe.rgbd_vo_step(fe_state, g, d, cfg)
+        is_kf = vo.tracking_ok & (
+            jnp.mod(fid, cfg.pipeline.keyframe_every) == 0)
+
+        def fuse(args):
+            m, db = args
+            return fuse_keyframe(m, db, d, g, vo.T_wc, fid, cfg)
+
+        m, db = jax.lax.cond(is_kf, fuse, lambda args: args, (m, db))
+        from .backend import signature_device
+        feats_r = _virtual_right_features(fe_state.feats_l,
+                                          fe_state.disp_l)
+        stats = dict(
+            T_wc=vo.T_wc,
+            tracking_ok=vo.tracking_ok,
+            num_inliers=vo.num_inliers,
+            fused=is_kf,
+            feats_l=fe_state.feats_l,
+            feats_r=feats_r,
+            sig=signature_device(fe_state.feats_l),
+        )
+        return (fe_state, m, db), stats
+
+    (fe_state, m, db), stats = jax.lax.scan(
+        body, (fe_state, m, db), (grays, depths, frame_ids))
+    return fe_state, m, db, stats
+
+
 # ---------------------------------------------------------------------------
 # Online correction (jitted)
 # ---------------------------------------------------------------------------

@@ -88,9 +88,14 @@ class SLAMSystem:
         if self._seq_fn is None:
             import functools
 
-            from .dense_slam import process_sequence
+            from .dense_slam import process_sequence, process_sequence_rgbd
+            # rgbd routes the chunk scan through the depth-sensor body
+            # (process_chunk's `rights` argument carries the depth maps)
+            seq = (process_sequence_rgbd
+                   if self.cfg.pipeline.sensor == "rgbd"
+                   else process_sequence)
             self._seq_fn = jax.jit(
-                functools.partial(process_sequence, cfg=self.cfg),
+                functools.partial(seq, cfg=self.cfg),
                 donate_argnums=(1, 2),
             )
         return self._seq_fn

@@ -36,6 +36,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--sensor", default="stereo",
+                    choices=["stereo", "rgbd"],
+                    help="rgbd drives the TUM/ICL-style depth-sensor path "
+                    "(reference: Input.h:30-35): VO from rgbd_vo_step's "
+                    "virtual right views, fusion of the sensor depth, no "
+                    "stereo matcher")
+    ap.add_argument("--depth-noise", type=float, default=0.01,
+                    help="rgbd: relative sensor depth noise sigma")
+    ap.add_argument("--depth-holes", type=float, default=0.05,
+                    help="rgbd: fraction of depth pixels dropped to 0")
     ap.add_argument("--frames", type=int, default=500)
     ap.add_argument("--closure", type=int, default=40,
                     help="extra frames past the loop start (the revisit)")
@@ -142,7 +152,8 @@ def main() -> None:
         pipeline=PipelineConfig(keyframe_every=args.keyframe_every,
                                 fusion_db_capacity=64,
                                 new_submap_threshold=args.submap_threshold,
-                                map_memory_budget_mb=args.map_budget_mb),
+                                map_memory_budget_mb=args.map_budget_mb,
+                                sensor=args.sensor),
     )
     if args.cpu:  # small-shape smoke mode
         cfg = dataclasses.replace(
@@ -189,12 +200,16 @@ def main() -> None:
     # ... and the eval SGM program: its first-use compile inside chunk 0's
     # eval congested the remote compile service and stalled the next
     # chunks' scan dispatches for minutes (r7 drive: ~400 s across the
-    # first two chunks)
-    from denseslam_tpu.ops import stereo as stereo_ops
-    _sgm_eval = jax.jit(lambda l, r: stereo_ops.compute_depth(
-        l, r, rig, cfg.stereo, max_depth_m=cfg.tsdf.max_depth_m))
-    zi = jnp.zeros((h, w), jnp.float32)
-    _ = np.asarray(_sgm_eval(zi, zi)[0])
+    # first two chunks). rgbd mode has no stereo matcher: the "input
+    # depth" metric scores the (noisy) sensor depth itself.
+    if args.sensor == "rgbd":
+        _sgm_eval = None
+    else:
+        from denseslam_tpu.ops import stereo as stereo_ops
+        _sgm_eval = jax.jit(lambda l, r: stereo_ops.compute_depth(
+            l, r, rig, cfg.stereo, max_depth_m=cfg.tsdf.max_depth_m))
+        zi = jnp.zeros((h, w), jnp.float32)
+        _ = np.asarray(_sgm_eval(zi, zi)[0])
     warm_s = time.perf_counter() - tw
     print(f"warmup done in {warm_s:.1f} s", flush=True)
 
@@ -212,6 +227,22 @@ def main() -> None:
         g = g[:, None, None]
         return (jnp.clip(lg * g + nl, 0, 255),
                 jnp.clip(rg * g + nr, 0, 255))
+
+    @jax.jit
+    def _depth_nuisance(lg, dd, t0_idx, key):
+        """RGB-D sensor model: photometric nuisance on gray + relative
+        depth noise + dropout holes (TUM-style depth sensor)."""
+        tt = t0_idx + jnp.arange(lg.shape[0], dtype=jnp.float32)
+        g = 1.0 + args.gain_amp * jnp.sin(2 * jnp.pi * tt / 150.0)
+        kl, kd, kh = jax.random.split(key, 3)
+        nl = args.photo_noise * jax.random.normal(kl, lg.shape, jnp.float32)
+        gray = jnp.clip(lg * g[:, None, None] + nl, 0, 255)
+        dn = dd * (1.0 + args.depth_noise
+                   * jax.random.normal(kd, dd.shape, jnp.float32))
+        holes = jax.random.uniform(kh, dd.shape) < args.depth_holes
+        dn = jnp.where(holes | (dd <= 0)
+                       | (dd > cfg.tsdf.max_depth_m), 0.0, dn)
+        return gray, dn
 
     blackout = None
     if args.blackout:
@@ -232,8 +263,11 @@ def main() -> None:
     # search range — no stereo system on this rig can measure them (the
     # frame-400 close occluder scored absrel 0.92 purely on such pixels).
     # Scoring starts where the sensor can physically see.
-    z_floor = max(0.5, rig.intr.fx * rig.baseline_m
-                  / (cfg.stereo.max_disparity - 1))
+    if args.sensor == "rgbd":
+        z_floor = 0.5      # depth sensor: no disparity-envelope floor
+    else:
+        z_floor = max(0.5, rig.intr.fx * rig.baseline_m
+                      / (cfg.stereo.max_disparity - 1))
 
     t0 = time.perf_counter()
     t_steady = None          # set after the warmup frames (compile stall)
@@ -252,12 +286,19 @@ def main() -> None:
     key0 = jax.random.PRNGKey(0)
 
     def _make_chunk(lo, hi2, block=True):
-        """Synthesize frames [lo, hi2) (device-side render + nuisance)."""
+        """Synthesize frames [lo, hi2) (device-side render + nuisance).
+        stereo -> (lefts, rights); rgbd -> (grays, sensor depths)."""
         ts = time.perf_counter()
-        lg, rgs, _ = synthetic.render_stereo_trajectory(
-            gt[lo:hi2], rig, scene)
-        ls, rs = _nuisance(lg, rgs, jnp.float32(lo),
-                           jax.random.fold_in(key0, lo))
+        if args.sensor == "rgbd":
+            lg, dd = synthetic.render_trajectory(
+                jnp.asarray(gt[lo:hi2]), intr, scene)
+            ls, rs = _depth_nuisance(lg, dd, jnp.float32(lo),
+                                     jax.random.fold_in(key0, lo))
+        else:
+            lg, rgs, _ = synthetic.render_stereo_trajectory(
+                gt[lo:hi2], rig, scene)
+            ls, rs = _nuisance(lg, rgs, jnp.float32(lo),
+                               jax.random.fold_in(key0, lo))
         if blackout is not None:
             t_idx = np.arange(lo, hi2)
             b = (t_idx >= blackout[0]) & (t_idx < blackout[1])
@@ -388,8 +429,11 @@ def main() -> None:
             gtd[gtd > cfg.tsdf.max_depth_m] = 0.0
             dm_gt_acc.append(depth_metrics.depth_metrics(
                 rc, gtd, min_depth=z_floor, max_depth=cfg.tsdf.max_depth_m))
-            d_in, v_in = _sgm_eval(lefts[t - base], rights[t - base])
-            d_in = np.asarray(jnp.where(v_in, d_in, 0.0))
+            if args.sensor == "rgbd":
+                d_in = np.asarray(rights[t - base])   # the sensor depth
+            else:
+                d_in, v_in = _sgm_eval(lefts[t - base], rights[t - base])
+                d_in = np.asarray(jnp.where(v_in, d_in, 0.0))
             dm_in_acc.append(depth_metrics.depth_metrics(
                 d_in, gtd, min_depth=z_floor,
                 max_depth=cfg.tsdf.max_depth_m))
@@ -429,6 +473,7 @@ def main() -> None:
              for k in dm_in_acc[0]} if dm_in_acc else {}
 
     rec = dict(
+        sensor=args.sensor,
         frames=n_total, width=w, height=h, radius_m=args.radius,
         photo_noise=args.photo_noise, gain_amp=args.gain_amp,
         keyframe_every=args.keyframe_every,

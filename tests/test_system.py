@@ -280,3 +280,32 @@ def test_chunk_mode_submap_spawn():
         sys_.process_chunk(lefts[i:i + chunk], rights[i:i + chunk])
     assert len(sys_.slam.submaps.maps) >= 2, "no submap spawned in chunk mode"
     assert int(np.asarray(sys_.slam.submaps.dbs[0].valid).sum()) > 0
+
+
+def test_rgbd_chunk_mode_tracks_and_registers():
+    """RGB-D throughput path (process_sequence_rgbd + virtual right
+    features for backend registration — reference RGBD sensor,
+    Input.h:30-35): the chunk scan must track from sensor depth, fuse,
+    and register keyframes whose virtual stereo features feed BA."""
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, sensor="rgbd",
+                                          keyframe_every=2))
+    sys_ = SLAMSystem(cfg, ba_every=2, loop_every=0)
+    n = 12
+    poses = synthetic.make_trajectory(n, step_m=0.05, yaw_rate=0.003)
+    grays, depths = synthetic.render_trajectory(
+        jnp.asarray(poses), cfg.rig.intr)
+    out = sys_.process_chunk(grays[:6], depths[:6])
+    out = sys_.process_chunk(grays[6:], depths[6:])
+    okf = np.asarray(out["tracking_ok_frames"])
+    assert okf[1:].mean() > 0.7, f"rgbd chunk tracking lost: {okf}"
+    assert sys_.backend.num_keyframes >= 3
+    # virtual right features must be present (BA needs the disparity)
+    kf = sys_.backend.keyframes[-1]
+    assert int(np.asarray(kf.feats_r.valid).sum()) > 20
+    # trajectory error stays bounded
+    est = {f: T for f, T in sys_.slam.pose_history}
+    errs = [float(np.linalg.norm(est[i][:3, 3] - poses[i][:3, 3]))
+            for i in range(n) if i in est]
+    assert max(errs) < 0.15, errs
