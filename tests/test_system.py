@@ -52,8 +52,16 @@ def test_system_tracks_and_runs_ba():
 
 def test_system_loop_closure_corrects_map():
     """Out-and-back trajectory with a revisit: the system must detect the
-    loop, relax the graph, and re-fuse the dense map."""
+    loop, relax the graph, and re-fuse the dense map.
+
+    min_error is dropped to 0.2 mm here: the round-4 frontend (2048
+    features + subpixel match refinement) tracks this loop at 2-7 mm
+    drift, below the production 5 mm correction gate — the chain under
+    test (loop -> relax -> re-fuse) must still fire on mm-level updates."""
     cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, correction=dataclasses.replace(cfg.correction,
+                                            min_error=2e-4))
     sys_ = SLAMSystem(cfg, ba_every=0, loop_every=1)
     n = 12
     gt = [np.eye(4, dtype=np.float32)]
