@@ -114,23 +114,24 @@ def main(argv=None) -> None:
     count = jax.jit(tsdf_ops.num_allocated_blocks)
 
     def dispatch_health_ms() -> float:
-        """Tiny-op dispatch latency (CLAUDE.md rule 5): ~0.05 ms healthy;
-        ~0.3+ ms means the shared remote-compile service is congested and
-        every number below is a LOWER BOUND, not pipeline cost. Varying
-        salt defeats the runtime's identical-dispatch dedup."""
+        """Per-dispatch ENQUEUE latency of pipelined tiny programs
+        (CLAUDE.md rule 5's congestion probe, re-based for the current
+        runtime: any SERIALIZED tiny round-trip now costs the full
+        ~27-30 ms tunnel RTT healthy or not, so only the async enqueue
+        rate still carries the congestion signal). Measured healthy:
+        ~0.16-0.19 ms/dispatch; a congested remote compile service
+        inflates it several-fold. Salt varies per dispatch (the runtime
+        dedupes identical (executable, args) pairs)."""
         tiny = jax.jit(lambda x, s: jnp.sum(x * 2.0 + s))
         x = jnp.ones((8, 128), jnp.float32)
-        float(jax.device_get(tiny(x, jnp.float32(0.5))))   # compile
-        ts = []
-        for k in range(5):
-            t0 = time.perf_counter()
-            float(jax.device_get(tiny(x, jnp.float32(k + 1.0))))
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2] * 1e3
+        float(jax.device_get(tiny(x, jnp.float32(0.0))))   # compile + run
+        reps = 20
+        t0 = time.perf_counter()
+        outs = [tiny(x, jnp.float32(k + 1.0)) for k in range(reps)]
+        dt = time.perf_counter() - t0
+        outs[-1].block_until_ready()
+        return dt / reps * 1e3
 
-    # The fetch RTT rides every probe on the tunnel (~0.1-0.2 ms); the
-    # congestion signal is the DELTA from this session's healthy floor.
     health_ms = dispatch_health_ms()
 
     # warmup / compile + 2 untimed steady-state chunks: the FIRST dispatch
@@ -170,11 +171,12 @@ def main(argv=None) -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
         # in-band evidence for the timing's trustworthiness (CLAUDE.md
-        # rule 5): pre/post tiny-op dispatch latency; >= ~0.5 ms flags a
-        # congested remote-compile service -> fps is a lower bound only
+        # rule 5): pre/post per-dispatch enqueue latency (healthy
+        # ~0.16-0.19 ms); >= ~1 ms flags a congested remote-compile
+        # service -> fps is a lower bound only
         "health_ms": round(health_ms, 3),
         "health_after_ms": round(health_after_ms, 3),
-        "congested": bool(max(health_ms, health_after_ms) >= 0.5),
+        "congested": bool(max(health_ms, health_after_ms) >= 1.0),
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -169,6 +169,10 @@ class FrontendConfig:
     subpixel_refine: bool = True
     refine_patch: int = 9             # correlation window (odd)
     refine_search: int = 2            # +- integer search around the match
+    refine_cap: int = 768             # max quads refined per frame (valid
+                                      # rows are compacted first; typical
+                                      # valid count is 200-900 at the
+                                      # 2048-feature cap)
     # Monocular scale fixing (reference: libviso2 viso_mono — scale from
     # the calibrated camera height over the ground plane; KITTI-ish
     # defaults).

@@ -249,12 +249,8 @@ def rgbd_vo_step(
         # temporal-leg refinement only: the right views are VIRTUAL
         # (disparity synthesized from sensor depth), so only the real
         # lp -> lc correspondence has image support to correlate.
-        anchor = matching._bilinear_patches(state.img_l, uv_lp,
-                                            fc.refine_patch // 2)
-        uv_lc_m = matching._refine_leg(anchor, gray, f_lc.uv,
-                                       fc.refine_patch // 2,
-                                       fc.refine_search, du_only=False)
-        uv_lc_m = jnp.where(ok[:, None], uv_lc_m, f_lc.uv)
+        uv_lc_m = matching.refine_temporal_subpix(
+            state.img_l, gray, uv_lp, f_lc.uv, ok, fc)
     q = matching.QuadMatches(
         idx_lc=i_lc, idx_rc=i_lc, idx_lp=m, idx_rp=m,
         uv_lc=uv_lc_m,
@@ -321,12 +317,8 @@ def mono_vo_step(
     uv_prev = state.feats_l.uv[jnp.maximum(m, 0)]
     uv_curr = f_lc.uv
     if fc.subpixel_refine:
-        anchor = matching._bilinear_patches(state.img_l, uv_prev,
-                                            fc.refine_patch // 2)
-        uv_ref = matching._refine_leg(anchor, left, uv_curr,
-                                      fc.refine_patch // 2,
-                                      fc.refine_search, du_only=False)
-        uv_curr = jnp.where(valid[:, None], uv_ref, uv_curr)
+        uv_curr = matching.refine_temporal_subpix(
+            state.img_l, left, uv_prev, uv_curr, valid, fc)
     if fc.outlier_removal:
         valid = matching.flow_consensus(
             uv_curr,

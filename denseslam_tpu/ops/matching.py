@@ -187,7 +187,8 @@ def remove_outliers(q: QuadMatches, cfg: FrontendConfig) -> QuadMatches:
 
 def _bilinear_patches(img: jax.Array, uv: jax.Array, half: int,
                       ext: int = 0,
-                      scale: jax.Array | None = None) -> jax.Array:
+                      scale: jax.Array | None = None,
+                      ext_v: int | None = None) -> jax.Array:
     """Bilinear-sampled square patches around subpixel centers.
 
     Returns (M, S, S) with S = 2*(half+ext)+1, sampled at
@@ -197,25 +198,45 @@ def _bilinear_patches(img: jax.Array, uv: jax.Array, half: int,
     patch at a per-feature magnification — used to match the anchor's
     scale to a forward-motion-expanded target patch."""
     h, w = img.shape
-    offs = np.arange(-(half + ext), half + ext + 1, dtype=np.float32)
+    flat = img.reshape(-1)
     if scale is None:
-        su = uv[:, 0, None, None] + offs[None, None, :]
-        sv = uv[:, 1, None, None] + offs[None, :, None]
-        su = jnp.broadcast_to(su, su.shape[:1] + (offs.size, offs.size))
-        sv = jnp.broadcast_to(sv, sv.shape[:1] + (offs.size, offs.size))
-    else:
-        sc = scale[:, None, None]
-        su = uv[:, 0, None, None] + sc * offs[None, None, :]
-        sv = uv[:, 1, None, None] + sc * offs[None, :, None]
-        su, sv = jnp.broadcast_to(su, sv.shape[:1] + (offs.size, offs.size)), \
-            jnp.broadcast_to(sv, sv.shape[:1] + (offs.size, offs.size))
+        # Unit-stride fast path: ONE gather of the (Sv+1, Su+1) integer
+        # super-patch; the four bilinear corners are shifted SLICES of it
+        # (the naive form pays 4 full gathers — and on this TPU the whole
+        # op is gather-bound at ~8 ns/element). ext_v overrides the
+        # vertical extension (1D stereo legs search u only).
+        ev = ext if ext_v is None else ext_v
+        su_ = 2 * (half + ext) + 1
+        sv_ = 2 * (half + ev) + 1
+        u0f = jnp.floor(uv[:, 0])
+        v0f = jnp.floor(uv[:, 1])
+        fu = (uv[:, 0] - u0f)[:, None, None]
+        fv = (uv[:, 1] - v0f)[:, None, None]
+        co = np.arange(su_ + 1, dtype=np.int32) - (half + ext)
+        ro = np.arange(sv_ + 1, dtype=np.int32) - (half + ev)
+        vi = jnp.clip(v0f.astype(jnp.int32)[:, None] + ro[None, :],
+                      0, h - 1)
+        ui = jnp.clip(u0f.astype(jnp.int32)[:, None] + co[None, :],
+                      0, w - 1)
+        sup = flat[vi[:, :, None] * w + ui[:, None, :]]  # (M, Sv+1, Su+1)
+        p00 = sup[:, :-1, :-1]
+        p01 = sup[:, :-1, 1:]
+        p10 = sup[:, 1:, :-1]
+        p11 = sup[:, 1:, 1:]
+        return (p00 * (1 - fu) * (1 - fv) + p01 * fu * (1 - fv)
+                + p10 * (1 - fu) * fv + p11 * fu * fv)
+    offs = np.arange(-(half + ext), half + ext + 1, dtype=np.float32)
+    sc = scale[:, None, None]
+    su = uv[:, 0, None, None] + sc * offs[None, None, :]
+    sv = uv[:, 1, None, None] + sc * offs[None, :, None]
+    su = jnp.broadcast_to(su, su.shape[:1] + (offs.size, offs.size))
+    sv = jnp.broadcast_to(sv, sv.shape[:1] + (offs.size, offs.size))
     su = jnp.clip(su, 0.0, w - 1.001)    # border samples degrade to clamp
     sv = jnp.clip(sv, 0.0, h - 1.001)
     u0 = jnp.floor(su).astype(jnp.int32)
     v0 = jnp.floor(sv).astype(jnp.int32)
     fu = su - u0
     fv = sv - v0
-    flat = img.reshape(-1)
     idx = v0 * w + u0                                   # (M, S, S)
     p00 = flat[idx]
     p01 = flat[idx + 1]
@@ -245,14 +266,24 @@ def _refine_leg(anchor: jax.Array, img: jax.Array, uv: jax.Array,
                 half: int, search: int, du_only: bool) -> jax.Array:
     """Correlate `anchor` patches (M, S, S) against `img` around `uv`;
     return refined uv. du_only restricts the search to the u axis
-    (rectified stereo partners)."""
+    (rectified stereo partners).
+
+    The search grid is sampled BILINEARLY at uv + integer shifts — the
+    grid phase matches the detector's position estimate, so the cost
+    minimum lands near a grid point and the parabolic fit stays
+    locking-free (an integer-base grid was tried: ~3x cheaper gathers but
+    the minimum lands up to 0.7 px off-grid and pixel-locking pushed the
+    drive's translation-scale bias from -0.65% back to -1.6%). The
+    bilinear cost is ONE super-patch gather (see _bilinear_patches), and
+    du_only legs gather only the rows they use."""
     r = search
-    ext = _bilinear_patches(img, uv, half, ext=r)       # (M, S+2r, S+2r)
     s = 2 * half + 1
+    ext = _bilinear_patches(img, uv, half, ext=r,
+                            ext_v=0 if du_only else r)
     n_dv = 1 if du_only else (2 * r + 1)
     costs = []
     for dy in range(n_dv):
-        yy = r if du_only else dy
+        yy = 0 if du_only else dy
         row = []
         for dx in range(2 * r + 1):
             row.append(_zssd(anchor, ext[:, yy:yy + s, dx:dx + s]))
@@ -321,30 +352,74 @@ def refine_quad_subpix(
     patch is an expanded copy of the previous one, and correlating at
     mismatched scale systematically undershoots radial flow — a direct
     translation-scale bias (measured -0.8% of the per-frame step on the
-    synthetic drive without compensation)."""
+    synthetic drive without compensation).
+
+    Cost control (the first cut of this op measured 45 ms/frame on TPU,
+    gather-bound at ~8 ns/element): only the first `refine_cap`
+    valid-compacted quads are refined (valid rows are a small fraction of
+    the static feature cap), target grids sample ONE integer-base gather
+    each, and 1D legs gather only the rows they use — together ~15x less
+    gather traffic at equal output quality."""
     half = cfg.refine_patch // 2
     r = cfg.refine_search
-    anchor_p = _bilinear_patches(img_lp, q.uv_lp, half)
+    m = q.uv_lc.shape[0]
+    cap = min(cfg.refine_cap, m)
+    order = jnp.argsort(~q.valid, stable=True)[:cap]    # valid rows first
+
+    uv_lp = q.uv_lp[order]
+    uv_rp0 = q.uv_rp[order]
+    uv_lc0 = q.uv_lc[order]
+    uv_rc0 = q.uv_rc[order]
+
+    anchor_p = _bilinear_patches(img_lp, uv_lp, half)
     # rectified partners search along the row of their left anchor
-    c_rp = jnp.stack([q.uv_rp[:, 0], q.uv_lp[:, 1]], axis=-1)
+    c_rp = jnp.stack([uv_rp0[:, 0], uv_lp[:, 1]], axis=-1)
     uv_rp = _refine_leg(anchor_p, img_rp, c_rp, half, r, du_only=True)
     anchor_t = anchor_p
     if T_pred is not None and rig is not None:
-        disp = jnp.maximum(q.uv_lp[:, 0] - uv_rp[:, 0], 0.5)
+        disp = jnp.maximum(uv_lp[:, 0] - uv_rp[:, 0], 0.5)
         z_p = rig.intr.fx * rig.baseline_m / disp
-        x_p = (q.uv_lp[:, 0] - rig.intr.cx) / rig.intr.fx * z_p
-        y_p = (q.uv_lp[:, 1] - rig.intr.cy) / rig.intr.fy * z_p
+        x_p = (uv_lp[:, 0] - rig.intr.cx) / rig.intr.fx * z_p
+        y_p = (uv_lp[:, 1] - rig.intr.cy) / rig.intr.fy * z_p
         z_c = (T_pred[2, 0] * x_p + T_pred[2, 1] * y_p
                + T_pred[2, 2] * z_p + T_pred[2, 3])
         # anchor offsets shrink by z_c/z_p so one anchor pixel spans the
         # same surface extent as one target pixel
         scale = jnp.clip(z_c / jnp.maximum(z_p, 0.5), 0.75, 1.3)
-        anchor_t = _bilinear_patches(img_lp, q.uv_lp, half, scale=scale)
-    uv_lc = _refine_leg(anchor_t, img_lc, q.uv_lc, half, r, du_only=False)
+        anchor_t = _bilinear_patches(img_lp, uv_lp, half, scale=scale)
+    uv_lc = _refine_leg(anchor_t, img_lc, uv_lc0, half, r, du_only=False)
     anchor_c = _bilinear_patches(img_lc, uv_lc, half)
-    c_rc = jnp.stack([q.uv_rc[:, 0], uv_lc[:, 1]], axis=-1)
+    c_rc = jnp.stack([uv_rc0[:, 0], uv_lc[:, 1]], axis=-1)
     uv_rc = _refine_leg(anchor_c, img_rc, c_rc, half, r, du_only=True)
-    return q._replace(uv_rp=uv_rp, uv_lc=uv_lc, uv_rc=uv_rc)
+    # scatter the refined rows back (cap unique indices — tiny)
+    return q._replace(
+        uv_rp=q.uv_rp.at[order].set(uv_rp),
+        uv_lc=q.uv_lc.at[order].set(uv_lc),
+        uv_rc=q.uv_rc.at[order].set(uv_rc),
+    )
+
+
+def refine_temporal_subpix(
+    img_prev: jax.Array,
+    img_curr: jax.Array,
+    uv_prev: jax.Array,
+    uv_curr: jax.Array,
+    valid: jax.Array,
+    cfg: FrontendConfig,
+) -> jax.Array:
+    """Compacted 2D temporal-leg refinement for single-image sensors
+    (rgbd/mono): anchor at the previous frame's position, correlate in
+    the current frame; only the first refine_cap valid-compacted rows
+    run. Returns refined uv_curr."""
+    m = uv_curr.shape[0]
+    cap = min(cfg.refine_cap, m)
+    order = jnp.argsort(~valid, stable=True)[:cap]
+    half = cfg.refine_patch // 2
+    anchor = _bilinear_patches(img_prev, uv_prev[order], half)
+    ref = _refine_leg(anchor, img_curr, uv_curr[order], half,
+                      cfg.refine_search, du_only=False)
+    ref = jnp.where(valid[order][:, None], ref, uv_curr[order])
+    return uv_curr.at[order].set(ref)
 
 
 def match_stereo(a: Features, b: Features, cfg: FrontendConfig) -> jax.Array:

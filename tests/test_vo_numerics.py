@@ -26,9 +26,18 @@ from denseslam_tpu.ops import matching, ransac
 
 
 def _pose_diff(Ta, Tb):
+    """(rot deg, trans m). Rotations are PROJECTED onto SO(3) first: the
+    naive arccos((tr-1)/2) of f32-quantised matrices has a precision
+    floor of sqrt(2 * 1e-7) ~ 0.025 deg near identity — it measures the
+    quantisation, not the rotation difference (round-4 finding)."""
     Ta = np.asarray(Ta, np.float64)
     Tb = np.asarray(Tb, np.float64)
-    R = Ta[:3, :3].T @ Tb[:3, :3]
+
+    def proj(R):
+        U, _, Vt = np.linalg.svd(R)
+        return U @ np.diag([1, 1, np.linalg.det(U @ Vt)]) @ Vt
+
+    R = proj(Ta[:3, :3]).T @ proj(Tb[:3, :3])
     c = np.clip((np.trace(R) - 1) / 2, -1, 1)
     return float(np.degrees(np.arccos(c))), float(
         np.linalg.norm(Ta[:3, 3] - Tb[:3, 3]))
