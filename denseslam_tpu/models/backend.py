@@ -171,6 +171,8 @@ class Backend:
         self.loop_log: List[dict] = []
         # per-window best redundancy fraction (cull trigger proximity)
         self.cull_margins: List[float] = []
+        # fine-grained loop-detect wall-time attribution (drive telemetry)
+        self.phase_s: dict = {}
         # last BA window's observation mask — the covisibility evidence
         # keyframe culling reads (cull_redundant)
         self._last_window_ids: Optional[np.ndarray] = None
@@ -218,7 +220,13 @@ class Backend:
         self._sig_slot: dict = {}                   # frame_id -> slot
         self._sig_next = 0
         self._sig_free: List[int] = []
-        self._sig_set = jax.jit(lambda buf, i, s: buf.at[i].set(s))
+        # donate the sketch stack: without donation every keyframe's
+        # at[].set re-copies the whole (cap, M, D) buffer (~64 MB), and
+        # the next device fetch in the chunk tick waits behind 16 queued
+        # copies (measured ~0.4-0.5 s per loop-detect in-drive vs 30 ms
+        # standalone)
+        self._sig_set = jax.jit(lambda buf, i, s: buf.at[i].set(s),
+                                donate_argnums=(0,))
         self._score_fn = jax.jit(functools.partial(
             _retrieval_scores_device, chunk=128))
 
@@ -446,9 +454,13 @@ class Backend:
         Returns (query_idx, candidate_idx) if a verified loop was added."""
         if len(self.keyframes) < min_gap + 2:
             return None
+        import time as _time
         qi = len(self.keyframes) - 1
         q = self.keyframes[qi]
+        t0 = _time.perf_counter()
         sims = self._scores_for(q.signature, self.keyframes[: qi - min_gap])
+        self.phase_s["dl_scores"] = self.phase_s.get("dl_scores", 0.0) + (
+            _time.perf_counter() - t0)
         ranked = np.argsort(-sims)
         # retrieval-margin telemetry: how close the best candidate sits to
         # the acceptance threshold and to the runner-up — makes a thinning
@@ -468,6 +480,7 @@ class Backend:
         # verify ALL shortlisted candidates in one vmapped program (pad by
         # repeating the first), then pick the best passing one on host
         # from a single packed fetch
+        t0 = _time.perf_counter()
         padded = order + [order[0]] * (top_k - len(order))
         cl = _stack_features(
             [self.keyframes[ci].feats_l for ci in padded])
@@ -475,8 +488,13 @@ class Backend:
             [self.keyframes[ci].feats_r for ci in padded])
         keys = jax.vmap(jax.random.PRNGKey)(
             jnp.asarray([qi * 31 + ci for ci in padded]))
+        self.phase_s["dl_stack"] = self.phase_s.get("dl_stack", 0.0) + (
+            _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         T_rel, n_inl, ok = jax.device_get(self._verify_batch(
             q.feats_l, q.feats_r, cl, cr, keys))
+        self.phase_s["dl_verify"] = self.phase_s.get("dl_verify", 0.0) + (
+            _time.perf_counter() - t0)
         for k, ci in enumerate(order):
             log["inliers"] = max(log["inliers"], int(n_inl[k]))
             if not bool(ok[k]) or int(n_inl[k]) < min_inliers:

@@ -60,15 +60,19 @@ def main() -> None:
     ap.add_argument("--depth-eval-every", type=int, default=25,
                     help="evaluate raycast depth at every Nth fused frame")
     ap.add_argument("--render-chunk", type=int, default=16)
-    ap.add_argument("--chunk", type=int, default=32,
+    ap.add_argument("--chunk", type=int, default=64,
                     help="frames per process_chunk batch (the production "
                     "throughput path: one lax.scan device program per "
                     "batch; 0 = per-frame host loop, which pays ~27 ms "
                     "tunnel RTT per scalar readback and is only needed "
-                    "when exercising relocalization). Measured sweep on "
-                    "the 544-frame drive: 16 -> 15.1 fps / ATE 0.39 m; "
-                    "32 -> 24.9 fps / ATE 0.23 m (sweet spot); 48 -> "
-                    "19.9 fps / ATE 0.52 m (correction cadence too slow)")
+                    "when exercising relocalization). Round-4 sweep with "
+                    "the hardened VO (576-frame drive): 32 -> ATE 0.21, "
+                    "64 -> ATE 0.12-0.14 / best fps (sweet spot: lower "
+                    "per-frame drift tolerates sparser corrections, and "
+                    "fewer ticks cost fewer tunnel RTTs); 96 -> equal "
+                    "ATE, worse fps. The old chunk-32 sweet spot was "
+                    "tuned on the pre-hardening VO (drift per chunk was "
+                    "4x higher)")
     ap.add_argument("--blackout", default=None, metavar="START:LEN",
                     help="blank (zero) frames [START, START+LEN) to "
                     "exercise tracking loss + relocalization (the "
@@ -269,6 +273,20 @@ def main() -> None:
         z_floor = max(0.5, rig.intr.fx * rig.baseline_m
                       / (cfg.stereo.max_disparity - 1))
 
+    def _health_ms() -> float:
+        """Per-dispatch enqueue latency, as in bench.py (healthy
+        ~0.16-0.19 ms; congestion inflates it)."""
+        tiny = jax.jit(lambda x, s: jnp.sum(x * 2.0 + s))
+        x = jnp.ones((8, 128), jnp.float32)
+        float(jax.device_get(tiny(x, jnp.float32(0.0))))
+        t0 = time.perf_counter()
+        outs = [tiny(x, jnp.float32(k + 1.0)) for k in range(20)]
+        dt = time.perf_counter() - t0
+        outs[-1].block_until_ready()
+        return dt / 20 * 1e3
+
+    health_pre = _health_ms()
+
     t0 = time.perf_counter()
     t_steady = None          # set after the warmup frames (compile stall)
     steady_from = 2 * ck     # first 2 chunks pay compile + the slow
@@ -289,16 +307,27 @@ def main() -> None:
         """Synthesize frames [lo, hi2) (device-side render + nuisance).
         stereo -> (lefts, rights); rgbd -> (grays, sensor depths)."""
         ts = time.perf_counter()
-        if args.sensor == "rgbd":
-            lg, dd = synthetic.render_trajectory(
-                jnp.asarray(gt[lo:hi2]), intr, scene)
-            ls, rs = _depth_nuisance(lg, dd, jnp.float32(lo),
-                                     jax.random.fold_in(key0, lo))
+        # render in <=32-frame sub-batches: one 64-frame stereo render
+        # dispatch measured ~25x slower than 2x32 on the tunneled runtime
+        # (232 MB of program outputs in one dispatch)
+        subs = []
+        for s0 in range(lo, hi2, 32):
+            s1 = min(s0 + 32, hi2)
+            if args.sensor == "rgbd":
+                lg, dd = synthetic.render_trajectory(
+                    jnp.asarray(gt[s0:s1]), intr, scene)
+                subs.append(_depth_nuisance(lg, dd, jnp.float32(s0),
+                                            jax.random.fold_in(key0, s0)))
+            else:
+                lg, rgs, _ = synthetic.render_stereo_trajectory(
+                    gt[s0:s1], rig, scene)
+                subs.append(_nuisance(lg, rgs, jnp.float32(s0),
+                                      jax.random.fold_in(key0, s0)))
+        if len(subs) == 1:
+            ls, rs = subs[0]
         else:
-            lg, rgs, _ = synthetic.render_stereo_trajectory(
-                gt[lo:hi2], rig, scene)
-            ls, rs = _nuisance(lg, rgs, jnp.float32(lo),
-                               jax.random.fold_in(key0, lo))
+            ls = jnp.concatenate([a for a, _ in subs])
+            rs = jnp.concatenate([b for _, b in subs])
         if blackout is not None:
             t_idx = np.arange(lo, hi2)
             b = (t_idx >= blackout[0]) & (t_idx < blackout[1])
@@ -481,11 +510,14 @@ def main() -> None:
         chunk=args.chunk, blackout=args.blackout,
         slide_max_age=args.slide_max_age, decay_min_age=args.decay_min_age,
         depth_eval_min_m=round(z_floor, 3),
+        health_ms_pre=round(health_pre, 3),
+        health_ms_post=round(_health_ms(), 3),
         fps=round(fps, 2), fps_steady=round(fps_steady, 2),
         fps_pipeline=round(proc_frames / max(proc_s, 1e-9), 2),
         wall_s=round(wall, 1), synth_s=round(synth_s, 1),
         eval_s=round(eval_s, 1), warmup_s=round(warm_s, 1),
-        phase_s={k: round(v, 1) for k, v in sorted(system.phase_s.items())},
+        phase_s={k: round(v, 1) for k, v in sorted(
+            {**system.phase_s, **system.backend.phase_s}.items())},
         tracking_lost_frames=lost,
         loops=system.num_loops, corrections=system.num_corrections,
         # retrieval-margin telemetry: accepted detections + the
