@@ -37,6 +37,12 @@ class OnlineCorrectionParams:
     correction_num: int = 5          # how many worst-drift keyframes to re-fuse
     start_correction_num: int = 10   # min stale keyframes before acting
     min_error: float = 0.015         # drift threshold to consider stale
+    # Coarser gate for INACTIVE submaps: their content is final map
+    # geometry whose rigid drift the inter-submap alignment delta absorbs
+    # at composite time, so only loop-scale pose jumps are worth a
+    # deferred de-fuse/re-fuse replay (each one dirties the pool and
+    # costs a spill/restore round trip over the host boundary).
+    inactive_min_error: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

@@ -462,6 +462,31 @@ def purge_culled(
 # Submap manager (ITMVoxelMapGraphManager / ITMActiveMapManager equivalent)
 # ---------------------------------------------------------------------------
 
+def _composite_transform(rc: rc_ops.Raycast, D: jax.Array) -> rc_ops.Raycast:
+    """Map a submap render's points/normals through its alignment delta
+    (one jitted program — see raycast_composite)."""
+    pts = lie.transform_points(
+        D, rc.points.reshape(-1, 3)).reshape(rc.points.shape)
+    pts = jnp.where(rc.mask[..., None], pts, 0.0)
+    nrm = (rc.normals.reshape(-1, 3) @ D[:3, :3].T).reshape(
+        rc.normals.shape)
+    return rc._replace(points=pts, normals=nrm)
+
+
+def _composite_merge(best: rc_ops.Raycast, rc: rc_ops.Raycast,
+                     D: jax.Array) -> rc_ops.Raycast:
+    """Delta-transform `rc` and min-depth merge it into `best`."""
+    rc = _composite_transform(rc, D)
+    closer = rc.mask & (~best.mask | (rc.depth < best.depth))
+    return rc_ops.Raycast(
+        depth=jnp.where(closer, rc.depth, best.depth),
+        points=jnp.where(closer[..., None], rc.points, best.points),
+        normals=jnp.where(closer[..., None], rc.normals, best.normals),
+        mask=best.mask | rc.mask,
+        color=jnp.where(closer[..., None], rc.color, best.color),
+    )
+
+
 class SubmapManager:
     """Host-side registry of per-submap MapStates with estimated global
     poses (reference surface: createNewLocalMap / setEstimatedGlobalPose /
@@ -741,23 +766,55 @@ class SubmapManager:
         return sum(self.submap_device_bytes(i)
                    for i in range(len(self.maps)))
 
+    def committed_memory_bytes(self) -> int:
+        """Device bytes that would COST something to reclaim: the active
+        submap plus DIRTY residents. A clean resident (untouched since
+        restore) evicts for free via the spill cache — it is a
+        reclaimable cache page, not committed memory."""
+        total = 0
+        for i in range(len(self.maps)):
+            if self.is_on_host(i):
+                continue
+            if i == len(self.maps) - 1 or self.dirty[i]:
+                total += self.submap_device_bytes(i)
+        return total
+
     def enforce_memory_budget(self) -> List[int]:
-        """Spill the oldest non-active device-resident submaps until the
-        total device footprint fits `pipeline.map_memory_budget_mb`
-        (<0 = unbounded). The active submap is never evicted (it is being
-        fused into every keyframe). Returns the indices evicted."""
+        """Spill the oldest non-active DIRTY device-resident submaps until
+        committed bytes fit `pipeline.map_memory_budget_mb` (<0 =
+        unbounded). The active submap is never evicted (it is being fused
+        into every keyframe). CLEAN residents don't count against the
+        budget and are left resident as a render cache — re-spilling them
+        per eval frame re-uploaded ~200-300 MB of pools per composite
+        (the round-3 multi-submap drive crawled at 0.4-1.6 fps on exactly
+        that); they are dropped for free only when a correction dirties
+        them or an explicit drop_clean_cache() call reclaims HBM.
+        Returns the indices evicted."""
         budget_mb = self.cfg.pipeline.map_memory_budget_mb
         if budget_mb < 0 or len(self.maps) < 2:
             return []
         budget = int(budget_mb * 1e6)
         evicted: List[int] = []
         for idx in range(len(self.maps) - 1):        # oldest first
-            if self.device_memory_bytes() <= budget:
+            if self.committed_memory_bytes() <= budget:
                 break
-            if not self.is_on_host(idx):
+            # only dirty residents count against the budget, so only
+            # they can bring it down
+            if not self.is_on_host(idx) and self.dirty[idx]:
                 self.evict_to_host(idx)
                 evicted.append(idx)
         return evicted
+
+    def drop_clean_cache(self) -> int:
+        """Free every clean resident submap's device copy (a no-cost
+        evict). Call under real HBM pressure. Returns count dropped."""
+        n = 0
+        for idx in range(len(self.maps) - 1):
+            if (not self.is_on_host(idx) and not self.dirty[idx]
+                    and self._spill_cache[idx] is not None):
+                self.evict_to_host(idx)
+                n += 1
+        return n
 
     @property
     def num_active_local_maps(self) -> int:
@@ -895,6 +952,8 @@ class DenseSLAM:
         self._postproc = jax.jit(functools.partial(depth_postprocess, cfg=cfg))
         self._correct = jax.jit(functools.partial(online_correction, cfg=cfg))
         self._purge = jax.jit(functools.partial(purge_culled, cfg=cfg))
+        self._composite_first = jax.jit(_composite_transform)
+        self._composite_merge = jax.jit(_composite_merge)
         self._icp = jax.jit(
             functools.partial(icp_ops.track, intr=cfg.rig.intr)
         )
@@ -1148,11 +1207,17 @@ class DenseSLAM:
         pend.clear()
         if not opt_valid.any():
             return
-        m, db, _ = self._correct(self.submaps.maps[si], db_i,
-                                 jnp.asarray(opt_T), jnp.asarray(opt_valid))
+        m, db, num = self._correct(self.submaps.maps[si], db_i,
+                                   jnp.asarray(opt_T), jnp.asarray(opt_valid))
         self.submaps.maps[si] = m
         self.submaps.dbs[si] = db
-        self.submaps.mark_dirty(si)
+        # dirty ONLY when the replay actually re-fused something: tiny
+        # deltas are rejected by _correct's min_error gate and leave the
+        # map bit-identical — marking those dirty forced a full
+        # fetch-spill + re-upload per eval cycle (the multi-submap
+        # drive's remaining eval cost)
+        if int(jax.device_get(num)) > 0:
+            self.submaps.mark_dirty(si)
 
     def apply_pose_updates(self, frame_ids: np.ndarray, poses: np.ndarray) -> int:
         """Feed backend-optimised poses; runs OnlineCorrection on EVERY
@@ -1182,20 +1247,42 @@ class DenseSLAM:
         # passes them through untouched.
         nmaps = self.submaps.num_local_maps
         db_index = jax.device_get(
-            [(self.submaps.dbs[si].frame_id, self.submaps.dbs[si].valid)
+            [(self.submaps.dbs[si].frame_id, self.submaps.dbs[si].valid,
+              self.submaps.dbs[si].T_fused)
              for si in range(nmaps)])
         nums = []
         for si in range(nmaps):
-            db_ids, db_valid = (np.asarray(a) for a in db_index[si])
-            if self.submaps.is_on_host(si):
-                # spilled submap: DEFER — stash the latest optimised pose
-                # per touched frame; the replay happens on restore (see
-                # pending_corrections). Restoring here would round-trip
-                # the whole pool through the host boundary every tick.
+            db_ids, db_valid, db_Tf = (np.asarray(a) for a in db_index[si])
+            if si != self.submaps.active_idx:
+                # INACTIVE submap (spilled or cache-resident): DEFER —
+                # stash the latest optimised pose per touched frame; the
+                # replay happens when the submap is next USED (composite
+                # render / swap-in). Correcting inactive pools live cost
+                # 1-3 s of device replay per tick (measured tick_apply
+                # 2 -> 27 s when the clean cache kept them resident), and
+                # deferral coalesces many ticks' updates into one replay.
+                # Stash gate: inactive content is FINAL map geometry —
+                # only loop-scale pose jumps matter; the rigid part of
+                # any drift is absorbed by the submap's alignment delta
+                # at composite time. Sub-gate deltas would no-op or
+                # voxel-noise-level-change the map while forcing a
+                # spill/restore cycle per eval.
                 pend = self.submaps.pending_corrections[si]
-                for fid in db_ids[db_valid]:
-                    if int(fid) in lut:
-                        pend[int(fid)] = np.asarray(poses[lut[int(fid)]])
+                T_f = db_Tf          # rode the packed DB-index fetch
+                gate = max(self.cfg.correction.min_error,
+                           self.cfg.correction.inactive_min_error)
+                for slot, fid in enumerate(db_ids):
+                    if not db_valid[slot] or int(fid) not in lut:
+                        continue
+                    P_new = np.asarray(poses[lut[int(fid)]], np.float64)
+                    P_old = np.asarray(T_f[slot], np.float64)
+                    dt = np.linalg.norm(P_new[:3, 3] - P_old[:3, 3])
+                    R = P_old[:3, :3].T @ P_new[:3, :3]
+                    dw = np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
+                    err = float(np.sqrt(dt * dt + 0.5 * dw * dw))
+                    if err > gate:
+                        pend[int(fid)] = np.asarray(poses[lut[int(fid)]],
+                                                    np.float32)
                 continue
             db_i = self.submaps.dbs[si]
             c = db_ids.shape[0]
@@ -1218,12 +1305,16 @@ class DenseSLAM:
                 jnp.asarray(opt_T), jnp.asarray(opt_valid))
             self.submaps.maps[si] = m
             self.submaps.dbs[si] = db
-            self.submaps.mark_dirty(si)
-            nums.append(num)
-        self.submaps.enforce_memory_budget()
+            nums.append((si, num))
         # one sync for every submap's re-fuse counter (int(num) inside the
-        # loop serialized a readback behind each correction program)
-        return int(np.sum(jax.device_get(nums))) if nums else 0
+        # loop serialized a readback behind each correction program);
+        # dirty only submaps whose correction actually re-fused frames
+        fetched = jax.device_get([n for _, n in nums]) if nums else []
+        for (si, _), n in zip(nums, fetched):
+            if int(n) > 0:
+                self.submaps.mark_dirty(si)
+        self.submaps.enforce_memory_budget()
+        return int(np.sum(fetched)) if fetched else 0
 
     def purge_keyframes(self, culled_frame_ids: np.ndarray) -> None:
         """Remove fused keyframes the backend culled (DenseSlam.cpp:417-429)."""
@@ -1261,6 +1352,39 @@ class DenseSLAM:
     def get_preview(self, kind: str, T_wc: Optional[jax.Array] = None):
         return rc_ops.render_preview(self.raycast_view(T_wc), kind)
 
+    def _spilled_submap_in_view(self, idx: int, T_wc,
+                                min_blocks: int = 8) -> bool:
+        """Cheap HOST-side visibility test for a host-resident submap:
+        project a subsample of its allocated block centers (numpy bit
+        unpack of the packed keys — no device work) through the current
+        alignment delta into the camera at T_wc; visible when at least
+        `min_blocks` land in the frustum within max_depth."""
+        m = self.submaps.maps[idx]
+        keys = np.asarray(m.table.keys)
+        ks = keys[keys != vhash.EMPTY_KEY]
+        if ks.size == 0:
+            return False
+        ks = ks[:: max(1, ks.size // 4096)]
+        half = int(vhash.PACK_HALF)
+        mask = (1 << int(vhash.PACK_BITS)) - 1
+        bx = (ks & mask) - half
+        by = ((ks >> int(vhash.PACK_BITS)) & mask) - half
+        bz = ((ks >> (2 * int(vhash.PACK_BITS))) & mask) - half
+        bs = tsdf_ops.BLOCK * self.cfg.tsdf.voxel_size_m
+        P = (np.stack([bx, by, bz], -1).astype(np.float64) + 0.5) * bs
+        M = np.linalg.inv(np.asarray(T_wc, np.float64)) @ np.asarray(
+            self.submaps.delta(idx), np.float64)
+        pc = P @ M[:3, :3].T + M[:3, 3]
+        z = pc[:, 2]
+        ok = (z > 0.2) & (z < self.cfg.tsdf.max_depth_m + bs)
+        intr = self.cfg.rig.intr
+        u = pc[:, 0] / np.maximum(z, 0.2) * intr.fx + intr.cx
+        v = pc[:, 1] / np.maximum(z, 0.2) * intr.fy + intr.cy
+        pad = 32.0        # block extent projects past its center
+        ok &= (u > -pad) & (u < intr.width + pad) \
+            & (v > -pad) & (v < intr.height + pad)
+        return int(ok.sum()) >= min_blocks
+
     def raycast_composite(self, T_wc: Optional[jax.Array] = None,
                           respill: bool = True) -> rc_ops.Raycast:
         """Raycast across ALL device-resident submaps, min-depth combined —
@@ -1279,12 +1403,26 @@ class DenseSLAM:
         for idx in range(self.submaps.num_local_maps):
             respill_this = False
             if self.submaps.is_on_host(idx):
+                if not self._spilled_submap_in_view(idx, T):
+                    # pure-host frustum gate: restoring a spilled submap
+                    # uploads its whole pool over the tunnel; a submap
+                    # whose blocks don't project into this view cannot
+                    # contribute a pixel (mid-drive evals were paying
+                    # multi-second restores for submaps BEHIND the
+                    # camera)
+                    continue
                 # spilled submaps still appear in the composite: restore
                 # (replaying deferred corrections), render, spill back —
                 # the reference's swapped-out submaps round-trip through
                 # the swapping engine the same way
                 self.restore_submap(idx)
                 respill_this = respill
+            elif (idx != self.submaps.active_idx
+                  and self.submaps.pending_corrections[idx]):
+                # cache-resident inactive submap with deferred
+                # corrections: replay them now (corrections are deferred
+                # for ALL inactive submaps — see apply_pose_updates)
+                self.restore_submap(idx)
             D = jnp.asarray(self.submaps.delta(idx))
             # render the submap as if its content were rigidly moved by D:
             # camera inv(D) @ T sees map-frame content exactly as T sees
@@ -1297,25 +1435,17 @@ class DenseSLAM:
                                            lie.inv_T(D) @ T)
             else:
                 rc = self._raycast(self.submaps.maps[idx], lie.inv_T(D) @ T)
-            pts = lie.transform_points(
-                D, rc.points.reshape(-1, 3)).reshape(rc.points.shape)
-            pts = jnp.where(rc.mask[..., None], pts, 0.0)
-            nrm = (rc.normals.reshape(-1, 3) @ D[:3, :3].T).reshape(
-                rc.normals.shape)
-            rc = rc._replace(points=pts, normals=nrm)
+            # ONE jitted program for transform + min-depth merge: the
+            # eager form was ~15 per-op remote dispatches per submap, and
+            # each op's FIRST use paid a seconds-long remote compile
+            # inside the drive (measured ~40 s/eval frame on the first
+            # composites)
+            if best is None:
+                best = self._composite_first(rc, D)
+            else:
+                best = self._composite_merge(best, rc, D)
             if respill_this:   # rendered image is its own buffer
                 self.submaps.evict_to_host(idx)   # free when clean
-            if best is None:
-                best = rc
-                continue
-            closer = rc.mask & (~best.mask | (rc.depth < best.depth))
-            best = rc_ops.Raycast(
-                depth=jnp.where(closer, rc.depth, best.depth),
-                points=jnp.where(closer[..., None], rc.points, best.points),
-                normals=jnp.where(closer[..., None], rc.normals, best.normals),
-                mask=best.mask | rc.mask,
-                color=jnp.where(closer[..., None], rc.color, best.color),
-            )
         assert best is not None, "no device-resident submaps"
         return best
 
@@ -1344,6 +1474,10 @@ class DenseSLAM:
             used_host_mb=round(host_used / 1e6, 1),
             hbm_footprint_mb=round(
                 self.submaps.device_memory_bytes() / 1e6, 1),
+            # committed = active + dirty residents; clean residents are a
+            # freely-reclaimable render cache (see enforce_memory_budget)
+            hbm_committed_mb=round(
+                self.submaps.committed_memory_bytes() / 1e6, 1),
             submaps=len(self.submaps.maps),
             submaps_on_host=sum(
                 1 for i in range(len(self.submaps.maps))

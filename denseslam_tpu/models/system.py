@@ -158,9 +158,16 @@ class SLAMSystem:
         else:
             _, _, num = slam._correct(slam.submaps.active, db0, opt_T, no)
             slam._purge(slam.submaps.active, db0, no)
+        # composite-combine programs (multi-submap eval renders them
+        # mid-drive; their first-use compiles measured ~40 s/eval frame
+        # on the remote service)
+        rc0 = slam.raycast_view(jnp.eye(4, dtype=jnp.float32))
+        eye = jnp.eye(4, dtype=jnp.float32)
+        rc1 = slam._composite_first(rc0, eye)
+        rc2 = slam._composite_merge(rc1, rc0, eye)
         # sync everything above via scalar fetches (block_until_ready is
         # not a reliable barrier on the tunneled runtime)
-        jax.device_get((n_inl, g.T_wc[0, 0, 0], num))
+        jax.device_get((n_inl, g.T_wc[0, 0, 0], num, rc2.depth[0, 0]))
         if chunk and slam._sharded is None:
             # the chunk-scan program on throwaway state (m/db are donated)
             from . import frontend as fe

@@ -426,6 +426,7 @@ def main() -> None:
         # them exactly. `depth_gtpose` keeps the reference-style
         # GT-pose comparison (drift included) for continuity.
         te = time.perf_counter()
+        ev_t = dict(rc=0.0, gt=0.0, sgm=0.0, met=0.0)
         for t in eval_frames:
             T_est = next((np.asarray(Tp, np.float32)
                           for f, Tp in reversed(system.slam.pose_history)
@@ -434,6 +435,7 @@ def main() -> None:
                 continue
             eval_ids.append(t)
             T_est = jnp.asarray(T_est)
+            t_rc = time.perf_counter()
             if len(system.slam.submaps.maps) > 1:
                 # multi-submap run: score the composite (active map alone
                 # misses geometry owned by earlier submaps). respill=False:
@@ -445,8 +447,11 @@ def main() -> None:
                     T_est, respill=False).depth)
             else:
                 rc = np.asarray(system.slam.raycast_view(T_est).depth)
+            ev_t["rc"] += time.perf_counter() - t_rc
+            t_gt = time.perf_counter()
             _, gt_at_est = synthetic.render_view(T_est, intr, scene)
             gtd_e = np.array(gt_at_est)
+            ev_t["gt"] += time.perf_counter() - t_gt
             gtd_e[gtd_e > cfg.tsdf.max_depth_m] = 0.0
             dm_acc.append(depth_metrics.depth_metrics(
                 rc, gtd_e, min_depth=z_floor, max_depth=cfg.tsdf.max_depth_m))
@@ -470,6 +475,9 @@ def main() -> None:
             # re-enforce the budget after the eval burst (composite ran
             # with respill=False); untouched restores evict for free
             system.slam.submaps.enforce_memory_budget()
+        if eval_frames and os.environ.get("DSL_EVAL_TIMERS"):
+            print(f"    eval@{eval_frames}: " + " ".join(
+                f"{k}={v:.1f}s" for k, v in ev_t.items()), flush=True)
         eval_s += time.perf_counter() - te
         _prefetch_next()
 

@@ -115,13 +115,21 @@ def test_correction_history_survives_spawn(cfg):
     assert int(np.asarray(slam.submaps.dbs[0].valid).sum()) == 3
     T0_before = np.asarray(slam.submaps.dbs[0].T_fused).copy()
 
-    # optimise ALL frames back to truth: both submaps must re-fuse
+    # optimise ALL frames back to truth: the ACTIVE submap re-fuses
+    # immediately; the inactive one's corrections are DEFERRED (round-4
+    # policy: inactive pools replay lazily at next use — correcting them
+    # live cost 1-3 s of device replay per tick) and stashed as pending
     num = slam.apply_pose_updates(
         np.arange(5), np.stack([np.asarray(g) for g in gt]))
     assert num > 0
+    assert len(slam.submaps.pending_corrections[0]) > 0
+    np.testing.assert_allclose(T0_before,
+                               np.asarray(slam.submaps.dbs[0].T_fused))
+    # replay on use: the next composite (or explicit swap-in) applies it
+    slam.restore_submap(0)
     T0_after = np.asarray(slam.submaps.dbs[0].T_fused)
     assert not np.allclose(T0_before, T0_after), (
-        "old submap's correction history was not replayed")
+        "old submap's correction history was not replayed on use")
 
 
 def test_memory_budget_spills_and_restores(cfg):
@@ -182,7 +190,9 @@ def test_memory_budget_spills_and_restores(cfg):
     assert num > 0
     assert slam.submaps.is_on_host(0)             # never left host
     assert slam.submaps.num_restores == restores_before
-    assert len(slam.submaps.pending_corrections[0]) == 3  # frames 0-2
+    # frames 1-2 stash; frame 0's drift is identically zero and the
+    # round-4 magnitude gate rightly skips it
+    assert len(slam.submaps.pending_corrections[0]) == 2
     np.testing.assert_allclose(T0_before,
                                np.asarray(slam.submaps.dbs[0].T_fused))
 
