@@ -179,12 +179,42 @@ def main(argv=None) -> None:
         "congested": bool(max(health_ms, health_after_ms) >= 1.0),
     }
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "results_long_drive.json")) as fh:
+        root = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(root, "results_long_drive.json")) as fh:
             drive = json.load(fh)
         rec["full_system_fps_steady"] = drive.get("fps_steady")
         rec["full_system_ate_m"] = drive.get("ate_rmse_m")
         rec["full_system_frames"] = drive.get("frames")
+        # fps_steady varies run-to-run at identical config (committed
+        # flagship runs spanned 10.8-14.7 under remote-service weather):
+        # quote the median + range over the recorded matching-config runs,
+        # not whichever run happens to be current (VERDICT r4 item 9)
+        hist_path = os.path.join(root, "results_long_drive_history.jsonl")
+        if os.path.exists(hist_path):
+            same = []
+            with open(hist_path) as fh:
+                for line in fh:
+                    try:
+                        r = json.loads(line)
+                    except ValueError:
+                        continue
+                    if (r.get("frames") == drive.get("frames")
+                            and r.get("chunk") == drive.get("chunk")
+                            and r.get("sensor") == drive.get("sensor")
+                            and r.get("keyframe_every")
+                            == drive.get("keyframe_every")
+                            and r.get("slide_max_age")
+                            == drive.get("slide_max_age")
+                            and not r.get("blackout")
+                            and not r.get("dwell")):
+                        same.append(float(r["fps_steady"]))
+            if len(same) >= 2:
+                import statistics
+                rec["full_system_fps_steady"] = round(
+                    statistics.median(same), 2)
+                rec["full_system_fps_range"] = [round(min(same), 2),
+                                                round(max(same), 2)]
+                rec["full_system_fps_runs"] = len(same)
     except Exception:
         pass
     print(json.dumps(rec))

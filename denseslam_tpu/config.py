@@ -175,10 +175,26 @@ class FrontendConfig:
     subpixel_refine: bool = True
     refine_patch: int = 9             # correlation window (odd)
     refine_search: int = 2            # +- integer search around the match
-    refine_cap: int = 768             # max quads refined per frame (valid
-                                      # rows are compacted first; typical
-                                      # valid count is 200-900 at the
-                                      # 2048-feature cap)
+    refine_cap: int = 384             # max quads refined per frame (valid
+                                      # rows are compacted first; measured
+                                      # post-consensus valid counts on the
+                                      # loop drive are median 154 / p95 261
+                                      # (exp_refine_gate.py) — 384 covers
+                                      # them with margin at half the old
+                                      # 768 budget, bit-identical output)
+    # Which quad legs the patch-correlation refinement re-anchors:
+    #   "full"     — all three legs (rp, lc, rc), the maximum-accuracy
+    #                form the round-4 hardening shipped;
+    #   "temporal" — the scale-anchored lc leg only; the stereo partners
+    #                keep their detector positions. The temporal leg is
+    #                where the scale-bias mechanism lives (predicted-scale
+    #                anchor, see refine_quad_subpix); stereo-leg detector
+    #                noise is zero-mean disparity noise that the ~200-
+    #                inlier refit averages down. Measured on the 150-frame
+    #                open-loop probe (exp_refine_gate.py): ATE 0.073 vs
+    #                full's 0.100, end-drift 0.079 vs 0.111 (equal or
+    #                better) at ~45% of the refinement gathers.
+    refine_mode: str = "temporal"
     # Monocular scale fixing (reference: libviso2 viso_mono — scale from
     # the calibrated camera height over the ground plane; KITTI-ish
     # defaults).

@@ -71,7 +71,9 @@ def save_slam_checkpoint(path: str, slam) -> None:
             flat[f"meta/pend_frames{si}"] = np.asarray(
                 sorted(pend.keys()), np.int64)
             flat[f"meta/pend_poses{si}"] = np.stack(
-                [pend[f] for f in sorted(pend.keys())])
+                [pend[f][0] for f in sorted(pend.keys())])
+            flat[f"meta/pend_errs{si}"] = np.asarray(
+                [pend[f][1] for f in sorted(pend.keys())], np.float64)
     flat.update(_flatten_with_paths(slam.fe_state, "fe"))
     flat["meta/frame"] = np.asarray(slam.frame)
     flat["meta/keyframes"] = np.asarray(slam.current_keyframes)
@@ -92,10 +94,17 @@ def load_slam_checkpoint(path: str, slam) -> None:
         sfx = "" if si == 0 else str(si)
         sm.maps[si] = _unflatten_like(sm.maps[si], data, "map" + sfx)
         sm.dbs[si] = _unflatten_like(sm.dbs[si], data, "db" + sfx)
-        sm.pending_corrections[si] = (
-            {int(f): T for f, T in zip(data[f"meta/pend_frames{si}"],
-                                       data[f"meta/pend_poses{si}"])}
-            if f"meta/pend_frames{si}" in data else {})
+        if f"meta/pend_frames{si}" in data:
+            fids = data[f"meta/pend_frames{si}"]
+            Ts = data[f"meta/pend_poses{si}"]
+            # pre-r5 checkpoints carry no stash errors: treat as large so
+            # the replay trigger fires (the conservative direction)
+            errs = data.get(f"meta/pend_errs{si}",
+                            np.full(len(fids), np.inf))
+            sm.pending_corrections[si] = {
+                int(f): (T, float(e)) for f, T, e in zip(fids, Ts, errs)}
+        else:
+            sm.pending_corrections[si] = {}
     if "meta/global_poses" in data:
         sm.global_poses = list(data["meta/global_poses"])
         sm.spawn_poses = list(data["meta/spawn_poses"])

@@ -336,6 +336,66 @@ def process_sequence_rgbd(
     return fe_state, m, db, stats
 
 
+def process_sequence_mono(
+    fe_state: "fe.FrontendState",
+    m: tsdf_ops.MapState,
+    db: FusionDB,
+    grays: jax.Array,       # (N, H, W) gray
+    depths: jax.Array,      # (N, H, W) SUPPLIED depth, meters (0 = hole)
+    frame_ids: jax.Array,   # (N,) i32
+    cfg: SystemConfig,
+) -> Tuple["fe.FrontendState", tsdf_ops.MapState, FusionDB, dict]:
+    """Monocular throughput path (reference: Input.h:24-28 MONOCULAR +
+    orbTrackMonocular, libviso2 viso_mono.h:56-62): motion comes from
+    `mono_vo_step` — 8-point RANSAC + ground-plane metric scale, the depth
+    maps NEVER feed the estimator — while fusion and the backend currency
+    consume the supplied depth (the reference's mono mode likewise fuses
+    only precomputed external depth, PrecomputedDepthProvider.cpp:30-68).
+    Same one-scan design as `process_sequence`."""
+    intr = cfg.rig.intr
+
+    def body(carry, inp):
+        fe_state, m, db = carry
+        g, d, fid = inp
+        fe_state, vo = fe.mono_vo_step(fe_state, g, cfg)
+        is_kf = vo.tracking_ok & (
+            jnp.mod(fid, cfg.pipeline.keyframe_every) == 0)
+
+        def fuse(args):
+            m, db = args
+            return fuse_keyframe(m, db, d, g, vo.T_wc, fid, cfg)
+
+        m, db = jax.lax.cond(is_kf, fuse, lambda args: args, (m, db))
+        from .backend import signature_device
+        # backend currency: virtual disparity sampled from the supplied
+        # depth at feature positions (the rgbd trick) — BA triangulation,
+        # loop verification and relocalization run their stereo programs
+        # unchanged on mono keyframes
+        f_l = fe_state.feats_l
+        ui = jnp.clip(jnp.round(f_l.uv[:, 0]).astype(jnp.int32), 0,
+                      intr.width - 1)
+        vi = jnp.clip(jnp.round(f_l.uv[:, 1]).astype(jnp.int32), 0,
+                      intr.height - 1)
+        z = d.reshape(-1)[vi * intr.width + ui]
+        disp = jnp.where(
+            f_l.valid & (z > 0.1),
+            intr.fx * cfg.rig.baseline_m / jnp.maximum(z, 0.1), -1.0)
+        stats = dict(
+            T_wc=vo.T_wc,
+            tracking_ok=vo.tracking_ok,
+            num_inliers=vo.num_inliers,
+            fused=is_kf,
+            feats_l=f_l,
+            feats_r=_virtual_right_features(f_l, disp),
+            sig=signature_device(f_l),
+        )
+        return (fe_state, m, db), stats
+
+    (fe_state, m, db), stats = jax.lax.scan(
+        body, (fe_state, m, db), (grays, depths, frame_ids))
+    return fe_state, m, db, stats
+
+
 # ---------------------------------------------------------------------------
 # Online correction (jitted)
 # ---------------------------------------------------------------------------
@@ -803,6 +863,20 @@ class SubmapManager:
             if not self.is_on_host(idx) and self.dirty[idx]:
                 self.evict_to_host(idx)
                 evicted.append(idx)
+        # The budget is a HARD cap on real HBM, not just on committed
+        # bytes: clean render-cache residents are free to keep only while
+        # TRUE footprint has headroom. After an eval burst restores many
+        # submaps (raycast_composite(respill=False)), drop clean caches
+        # oldest-first (a no-cost evict via the spill cache) until the
+        # device fits the budget again.
+        if self.device_memory_bytes() > budget:
+            for idx in range(len(self.maps) - 1):
+                if self.device_memory_bytes() <= budget:
+                    break
+                if (not self.is_on_host(idx) and not self.dirty[idx]
+                        and self._spill_cache[idx] is not None):
+                    self.evict_to_host(idx)
+                    evicted.append(idx)
         return evicted
 
     def drop_clean_cache(self) -> int:
@@ -1186,14 +1260,26 @@ class DenseSLAM:
 
     # -- global consistency ------------------------------------------------
 
-    def restore_submap(self, si: int) -> None:
+    def restore_submap(self, si: int, force_replay: bool = False) -> None:
         """Restore a spilled submap to device AND replay the corrections
         deferred while it was on host (pending_corrections) — the
         swapped-in submap must look exactly as if it had been corrected
-        in place."""
+        in place.
+
+        Replay trigger: at least one pending pose moved more than
+        inactive_min_error (or force_replay). Sub-trigger stashes stay
+        pending — they replay coalesced under a later trigger or in the
+        sequence-end flush — so a transient eval restore doesn't pay a
+        correction program (and the dirty re-spill it forces) for
+        voxel-noise-level pose deltas."""
         self.submaps.restore_to_device(si)
         pend = self.submaps.pending_corrections[si]
         if not pend:
+            return
+        trigger = force_replay or any(
+            err > self.cfg.correction.inactive_min_error
+            for _, err in pend.values())
+        if not trigger:
             return
         db_i = self.submaps.dbs[si]
         db_ids = np.asarray(db_i.frame_id)
@@ -1202,7 +1288,7 @@ class DenseSLAM:
         opt_valid = np.zeros((c,), bool)
         for slot, fid in enumerate(db_ids):
             if int(fid) in pend:
-                opt_T[slot] = pend[int(fid)]
+                opt_T[slot] = pend[int(fid)][0]
                 opt_valid[slot] = True
         pend.clear()
         if not opt_valid.any():
@@ -1218,6 +1304,21 @@ class DenseSLAM:
         # drive's remaining eval cost)
         if int(jax.device_get(num)) > 0:
             self.submaps.mark_dirty(si)
+
+    def flush_deferred_corrections(self) -> int:
+        """Sequence-end replay of every sub-trigger deferred correction:
+        the FINISHED map gets the full correction history, including
+        drift in (min_error, inactive_min_error] that never crossed the
+        lazy-replay trigger while the submap sat inactive. Returns the
+        number of submaps flushed."""
+        n = 0
+        for si in range(self.submaps.num_local_maps):
+            if self.submaps.pending_corrections[si]:
+                self.restore_submap(si, force_replay=True)
+                n += 1
+        if n:
+            self.submaps.enforce_memory_budget()
+        return n
 
     def apply_pose_updates(self, frame_ids: np.ndarray, poses: np.ndarray) -> int:
         """Feed backend-optimised poses; runs OnlineCorrection on EVERY
@@ -1261,28 +1362,31 @@ class DenseSLAM:
                 # 1-3 s of device replay per tick (measured tick_apply
                 # 2 -> 27 s when the clean cache kept them resident), and
                 # deferral coalesces many ticks' updates into one replay.
-                # Stash gate: inactive content is FINAL map geometry —
-                # only loop-scale pose jumps matter; the rigid part of
-                # any drift is absorbed by the submap's alignment delta
-                # at composite time. Sub-gate deltas would no-op or
-                # voxel-noise-level-change the map while forcing a
-                # spill/restore cycle per eval.
+                # Stash EVERYTHING above the correction min_error (same
+                # se3-log weighted metric as the jitted _correct gate —
+                # a coarser stash metric could stash poses _correct then
+                # rejects, or drop ones it would accept); the REPLAY
+                # trigger is gated on inactive_min_error instead
+                # (restore_submap): inactive content is near-final map
+                # geometry, and sub-trigger deltas would voxel-noise-
+                # level-change the map while forcing a spill/restore
+                # cycle per eval. Sub-trigger stashes still replay —
+                # coalesced under a later loop-scale trigger, or in the
+                # sequence-end flush_deferred_corrections() pass — so
+                # mid-size drift (rigid part absorbed by the alignment
+                # delta, residual re-fused at flush) is never silently
+                # discarded.
                 pend = self.submaps.pending_corrections[si]
                 T_f = db_Tf          # rode the packed DB-index fetch
-                gate = max(self.cfg.correction.min_error,
-                           self.cfg.correction.inactive_min_error)
+                gate = self.cfg.correction.min_error
                 for slot, fid in enumerate(db_ids):
                     if not db_valid[slot] or int(fid) not in lut:
                         continue
-                    P_new = np.asarray(poses[lut[int(fid)]], np.float64)
-                    P_old = np.asarray(T_f[slot], np.float64)
-                    dt = np.linalg.norm(P_new[:3, 3] - P_old[:3, 3])
-                    R = P_old[:3, :3].T @ P_new[:3, :3]
-                    dw = np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
-                    err = float(np.sqrt(dt * dt + 0.5 * dw * dw))
+                    err = lie.pose_error_weighted_np(T_f[slot],
+                                                     poses[lut[int(fid)]])
                     if err > gate:
-                        pend[int(fid)] = np.asarray(poses[lut[int(fid)]],
-                                                    np.float32)
+                        pend[int(fid)] = (np.asarray(poses[lut[int(fid)]],
+                                                     np.float32), err)
                 continue
             db_i = self.submaps.dbs[si]
             c = db_ids.shape[0]
@@ -1353,12 +1457,17 @@ class DenseSLAM:
         return rc_ops.render_preview(self.raycast_view(T_wc), kind)
 
     def _spilled_submap_in_view(self, idx: int, T_wc,
-                                min_blocks: int = 8) -> bool:
+                                min_blocks: int = 2) -> bool:
         """Cheap HOST-side visibility test for a host-resident submap:
         project a subsample of its allocated block centers (numpy bit
         unpack of the packed keys — no device work) through the current
         alignment delta into the camera at T_wc; visible when at least
-        `min_blocks` land in the frustum within max_depth."""
+        `min_blocks` land in the frustum within max_depth. min_blocks is
+        deliberately low (a thin sliver still contributes real geometry;
+        a false positive costs one wasted restore, a false negative
+        scores holes in the composite eval) and the frustum pad is
+        depth-dependent — a near block's extent projects far past its
+        center, so a fixed-pixel pad culled close-range geometry."""
         m = self.submaps.maps[idx]
         keys = np.asarray(m.table.keys)
         ks = keys[keys != vhash.EMPTY_KEY]
@@ -1380,7 +1489,9 @@ class DenseSLAM:
         intr = self.cfg.rig.intr
         u = pc[:, 0] / np.maximum(z, 0.2) * intr.fx + intr.cx
         v = pc[:, 1] / np.maximum(z, 0.2) * intr.fy + intr.cy
-        pad = 32.0        # block extent projects past its center
+        # per-block pad = the projected half-extent (half-diagonal
+        # 0.87*bs) at its depth, floored at 8 px for subsampling slack
+        pad = np.maximum(intr.fx * 0.87 * bs / np.maximum(z, 0.2), 8.0)
         ok &= (u > -pad) & (u < intr.width + pad) \
             & (v > -pad) & (v < intr.height + pad)
         return int(ok.sum()) >= min_blocks

@@ -88,12 +88,15 @@ class SLAMSystem:
         if self._seq_fn is None:
             import functools
 
-            from .dense_slam import process_sequence, process_sequence_rgbd
-            # rgbd routes the chunk scan through the depth-sensor body
-            # (process_chunk's `rights` argument carries the depth maps)
-            seq = (process_sequence_rgbd
-                   if self.cfg.pipeline.sensor == "rgbd"
-                   else process_sequence)
+            from .dense_slam import (process_sequence,
+                                     process_sequence_mono,
+                                     process_sequence_rgbd)
+            # rgbd/mono route the chunk scan through the depth-supplied
+            # bodies (process_chunk's `rights` argument carries the depth
+            # maps; mono's VO ignores them — fusion + backend consume them)
+            seq = {"rgbd": process_sequence_rgbd,
+                   "mono": process_sequence_mono}.get(
+                       self.cfg.pipeline.sensor, process_sequence)
             self._seq_fn = jax.jit(
                 functools.partial(seq, cfg=self.cfg),
                 donate_argnums=(1, 2),
@@ -629,7 +632,10 @@ class SLAMSystem:
         return delta
 
     def finish(self) -> None:
-        """Sequence end: decay catch-up (reference DecayCatchup)."""
+        """Sequence end: replay every still-deferred inactive-submap
+        correction (the finished map must carry the full correction
+        history), then decay catch-up (reference DecayCatchup)."""
+        self.slam.flush_deferred_corrections()
         self.slam.decay_catchup()
 
     # telemetry passthroughs

@@ -247,8 +247,14 @@ def _bilinear_patches(img: jax.Array, uv: jax.Array, half: int,
 
 
 def _zssd(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Zero-mean SSD over trailing (S, S) dims -> (M,). Mean removal keeps
-    the cost gain-invariant (the drive's exposure ramp)."""
+    """Zero-mean SSD over trailing (S, S) dims -> (M,). Mean removal makes
+    the cost offset-invariant; residual multiplicative gain between the
+    one-frame-lagged exposure-compensated anchor and the target is NOT
+    cancelled, but it is bounded by the gain loop (<~1%/frame on the
+    drive's ramp) and biases all candidate shifts of a patch equally to
+    first order — the parabolic minimum moves far less than the noise
+    floor. (Full gain invariance would be ZNCC — variance-normalised
+    patches — at one extra rsqrt per patch; not needed at this bound.)"""
     am = a - jnp.mean(a, axis=(-2, -1), keepdims=True)
     bm = b - jnp.mean(b, axis=(-2, -1), keepdims=True)
     d = am - bm
@@ -342,6 +348,12 @@ def refine_quad_subpix(
       lc <- 2D search in img_lc, anchored to the lp patch;
       rc <- 1D u-search in img_rc, anchored to the REFINED lc patch.
 
+    cfg.refine_mode="temporal" runs only the lc leg (with its predicted-
+    scale anchor — the scale-bias mechanism lives there); the stereo
+    partners keep detector positions, whose zero-mean disparity noise the
+    ~200-inlier refit averages down. Measured equal-or-better drift at
+    ~45% of the gather traffic (scripts/probes/exp_refine_gate.py).
+
     All legs are one bilinear patch gather + a static unrolled ZSSD grid +
     parabolic interpolation — O(M * patch^2 * (2*search+1)^2) VPU work,
     no data-dependent shapes. Measured on the synthetic drive: temporal
@@ -365,17 +377,22 @@ def refine_quad_subpix(
     m = q.uv_lc.shape[0]
     cap = min(cfg.refine_cap, m)
     order = jnp.argsort(~q.valid, stable=True)[:cap]    # valid rows first
+    temporal_only = cfg.refine_mode == "temporal"
 
     uv_lp = q.uv_lp[order]
     uv_rp0 = q.uv_rp[order]
     uv_lc0 = q.uv_lc[order]
     uv_rc0 = q.uv_rc[order]
 
-    anchor_p = _bilinear_patches(img_lp, uv_lp, half)
-    # rectified partners search along the row of their left anchor
-    c_rp = jnp.stack([uv_rp0[:, 0], uv_lp[:, 1]], axis=-1)
-    uv_rp = _refine_leg(anchor_p, img_rp, c_rp, half, r, du_only=True)
-    anchor_t = anchor_p
+    if temporal_only:
+        # stereo partners keep their detector positions; the predicted-
+        # scale disparity comes from them directly
+        uv_rp = uv_rp0
+    else:
+        anchor_p = _bilinear_patches(img_lp, uv_lp, half)
+        # rectified partners search along the row of their left anchor
+        c_rp = jnp.stack([uv_rp0[:, 0], uv_lp[:, 1]], axis=-1)
+        uv_rp = _refine_leg(anchor_p, img_rp, c_rp, half, r, du_only=True)
     if T_pred is not None and rig is not None:
         disp = jnp.maximum(uv_lp[:, 0] - uv_rp[:, 0], 0.5)
         z_p = rig.intr.fx * rig.baseline_m / disp
@@ -387,7 +404,13 @@ def refine_quad_subpix(
         # same surface extent as one target pixel
         scale = jnp.clip(z_c / jnp.maximum(z_p, 0.5), 0.75, 1.3)
         anchor_t = _bilinear_patches(img_lp, uv_lp, half, scale=scale)
+    elif temporal_only:
+        anchor_t = _bilinear_patches(img_lp, uv_lp, half)
+    else:
+        anchor_t = anchor_p
     uv_lc = _refine_leg(anchor_t, img_lc, uv_lc0, half, r, du_only=False)
+    if temporal_only:
+        return q._replace(uv_lc=q.uv_lc.at[order].set(uv_lc))
     anchor_c = _bilinear_patches(img_lc, uv_lc, half)
     c_rc = jnp.stack([uv_rc0[:, 0], uv_lc[:, 1]], axis=-1)
     uv_rc = _refine_leg(anchor_c, img_rc, c_rc, half, r, du_only=True)

@@ -152,6 +152,34 @@ def se3_exp_np(xi) -> "np.ndarray":
     return T.astype(np.float32)
 
 
+def pose_error_weighted_np(T_a, T_b) -> float:
+    """Pure-numpy port of `pose_error_weighted` for host-side gates (the
+    deferred-correction stash in dense_slam.apply_pose_updates). MUST stay
+    metric-identical to the jitted `_correct` gate, else a stashed pose
+    can fall below the replay gate and be dropped without re-fusing."""
+    import numpy as np
+    Ta = np.asarray(T_a, np.float64)
+    Tb = np.asarray(T_b, np.float64)
+    D = np.linalg.inv(Ta) @ Tb
+    R, t = D[:3, :3], D[:3, 3]
+    c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = float(np.arccos(c))
+    if theta < 1e-7:
+        w = np.zeros(3)
+        Vinv = np.eye(3)
+    else:
+        w = theta / (2.0 * np.sin(theta)) * np.array(
+            [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                      [-w[1], w[0], 0]], dtype=np.float64)
+        t2 = theta * theta
+        coef = (1.0 - theta * np.sin(theta)
+                / max(2.0 * (1.0 - np.cos(theta)), 1e-12)) / t2
+        Vinv = np.eye(3) - 0.5 * W + coef * (W @ W)
+    v = Vinv @ t
+    return float(np.sqrt(v @ v + 0.5 * (w @ w)))
+
+
 def make_T(R: jax.Array, t: jax.Array) -> jax.Array:
     """Assemble 4x4 from 3x3 rotation and translation."""
     batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])

@@ -37,11 +37,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sensor", default="stereo",
-                    choices=["stereo", "rgbd"],
+                    choices=["stereo", "rgbd", "mono"],
                     help="rgbd drives the TUM/ICL-style depth-sensor path "
                     "(reference: Input.h:30-35): VO from rgbd_vo_step's "
                     "virtual right views, fusion of the sensor depth, no "
-                    "stereo matcher")
+                    "stereo matcher. mono drives the MONOCULAR path "
+                    "(reference: Input.h:24-28 + viso_mono): VO from "
+                    "8-point RANSAC + ground-plane scale (depth never "
+                    "feeds the estimator); fusion consumes the supplied "
+                    "depth, as the reference's precomputed-depth mono "
+                    "mode does")
     ap.add_argument("--depth-noise", type=float, default=0.01,
                     help="rgbd: relative sensor depth noise sigma")
     ap.add_argument("--depth-holes", type=float, default=0.05,
@@ -206,7 +211,7 @@ def main() -> None:
     # chunks' scan dispatches for minutes (r7 drive: ~400 s across the
     # first two chunks). rgbd mode has no stereo matcher: the "input
     # depth" metric scores the (noisy) sensor depth itself.
-    if args.sensor == "rgbd":
+    if args.sensor in ("rgbd", "mono"):
         _sgm_eval = None
     else:
         from denseslam_tpu.ops import stereo as stereo_ops
@@ -267,8 +272,8 @@ def main() -> None:
     # search range — no stereo system on this rig can measure them (the
     # frame-400 close occluder scored absrel 0.92 purely on such pixels).
     # Scoring starts where the sensor can physically see.
-    if args.sensor == "rgbd":
-        z_floor = 0.5      # depth sensor: no disparity-envelope floor
+    if args.sensor in ("rgbd", "mono"):
+        z_floor = 0.5      # supplied depth: no disparity-envelope floor
     else:
         z_floor = max(0.5, rig.intr.fx * rig.baseline_m
                       / (cfg.stereo.max_disparity - 1))
@@ -313,7 +318,7 @@ def main() -> None:
         subs = []
         for s0 in range(lo, hi2, 32):
             s1 = min(s0 + 32, hi2)
-            if args.sensor == "rgbd":
+            if args.sensor in ("rgbd", "mono"):
                 lg, dd = synthetic.render_trajectory(
                     jnp.asarray(gt[s0:s1]), intr, scene)
                 subs.append(_depth_nuisance(lg, dd, jnp.float32(s0),
@@ -463,8 +468,8 @@ def main() -> None:
             gtd[gtd > cfg.tsdf.max_depth_m] = 0.0
             dm_gt_acc.append(depth_metrics.depth_metrics(
                 rc, gtd, min_depth=z_floor, max_depth=cfg.tsdf.max_depth_m))
-            if args.sensor == "rgbd":
-                d_in = np.asarray(rights[t - base])   # the sensor depth
+            if args.sensor in ("rgbd", "mono"):
+                d_in = np.asarray(rights[t - base])   # the supplied depth
             else:
                 d_in, v_in = _sgm_eval(lefts[t - base], rights[t - base])
                 d_in = np.asarray(jnp.where(v_in, d_in, 0.0))
@@ -573,6 +578,13 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rec, f, indent=1)
+        # append-only run history beside the latest-run file: bench.py
+        # quotes fps_steady as the median/range over matching-config runs
+        # (single runs varied 10.8-14.7 fps at identical config — quoting
+        # whichever run is current oversold or undersold the system)
+        hist = os.path.splitext(args.json)[0] + "_history.jsonl"
+        with open(hist, "a") as f:
+            f.write(json.dumps(rec) + "\n")
     if args.out:
         with open(args.out, "a") as f:
             f.write(f"\n## Long-drive validation "

@@ -252,3 +252,79 @@ def test_compact_spill_roundtrip_bit_exact(cfg):
     np.testing.assert_allclose(
         np.asarray(sm.maps[0].tsdf).astype(np.float32),
         np.asarray(before.tsdf).astype(np.float32) * 0.5, rtol=2e-2)
+
+
+def test_subtrigger_corrections_replay_at_flush(cfg):
+    """Drift in (min_error, inactive_min_error] on an INACTIVE submap is
+    stashed (never silently discarded), does NOT trigger a replay on a
+    transient restore (eval renders stay cheap), and IS re-fused by the
+    sequence-end flush_deferred_corrections() pass — the finished map
+    carries the full correction history."""
+    rng = np.random.default_rng(7)
+    slam = DenseSLAM(cfg)
+    gt = synthetic.make_trajectory(5, step_m=0.06, yaw_rate=0.0)
+    # sub-trigger drift: ~2 cm, above min_error 0.005, below the 0.05
+    # inactive replay trigger
+    drift = []
+    for i in range(5):
+        xi = np.concatenate([rng.normal(0, 0.012, 3),
+                             np.zeros(3)]).astype(np.float32)
+        drift.append(np.asarray(
+            jnp.asarray(gt[i]) @ lie.se3_exp(jnp.asarray(xi))))
+    for i in range(3):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(drift[i]))
+    slam.submaps.create_new(np.asarray(drift[3]), anchor_frame_id=3)
+    for i in range(3, 5):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(drift[i]))
+
+    T0_before = np.asarray(slam.submaps.dbs[0].T_fused).copy()
+    slam.apply_pose_updates(
+        np.arange(5), np.stack([np.asarray(g) for g in gt]))
+    pend = slam.submaps.pending_corrections[0]
+    assert pend, "sub-trigger drift must be stashed, not dropped"
+    assert all(e <= cfg.correction.inactive_min_error
+               for _, e in pend.values())
+
+    # transient restore: below the trigger -> no replay, stash intact
+    slam.restore_submap(0)
+    assert slam.submaps.pending_corrections[0]
+    np.testing.assert_allclose(
+        T0_before, np.asarray(slam.submaps.dbs[0].T_fused))
+    slam.submaps.evict_to_host(0)
+
+    # sequence-end flush re-fuses the stash
+    n = slam.flush_deferred_corrections()
+    assert n == 1
+    assert not slam.submaps.pending_corrections[0]
+    assert not np.allclose(
+        T0_before, np.asarray(slam.submaps.dbs[0].T_fused))
+
+
+def test_budget_caps_clean_cache_footprint(cfg):
+    """map_memory_budget_mb bounds TRUE HBM footprint, not just committed
+    (dirty) bytes: after an eval burst leaves clean render-cache
+    residents, enforce_memory_budget drops them (a free evict) until the
+    device fits the budget again."""
+    import dataclasses as dc
+    one = DenseSLAM(cfg).submaps.submap_device_bytes(0)
+    cfg2 = dc.replace(cfg, pipeline=dc.replace(
+        cfg.pipeline, map_memory_budget_mb=1.5 * one / 1e6))
+    slam = DenseSLAM(cfg2)
+    gt = synthetic.make_trajectory(4, step_m=0.06, yaw_rate=0.0)
+    for i in range(3):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(gt[i]))
+    slam.submaps.create_new(np.asarray(gt[3]), anchor_frame_id=3)
+    assert slam.submaps.is_on_host(0)          # spilled on spawn
+    # eval-style restore: submap 0 comes back as a CLEAN cache resident
+    slam.submaps.restore_to_device(0)
+    assert slam.submaps.device_memory_bytes() > 1.5 * one
+    evicted = slam.submaps.enforce_memory_budget()
+    assert 0 in evicted
+    assert slam.submaps.is_on_host(0)
+    assert slam.submaps.device_memory_bytes() <= 1.5 * one

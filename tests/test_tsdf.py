@@ -371,7 +371,9 @@ def test_checkpoint_preserves_pending_corrections(tmp_path):
     load_slam_checkpoint(p, slam2)
     pend = slam2.submaps.pending_corrections[0]
     assert 1 in pend
-    np.testing.assert_allclose(pend[1], T)
+    np.testing.assert_allclose(pend[1][0], T)
+    # the stash error magnitude survives too (the replay trigger reads it)
+    assert pend[1][1] > cfg.correction.inactive_min_error
     # and the restore replays it
     slam2.restore_submap(0)
     assert not slam2.submaps.pending_corrections[0]

@@ -99,9 +99,11 @@ def test_solver_matches_f64_oracle():
                 T_init=jnp.asarray(T_init, jnp.float64))
             assert r64.T_delta.dtype == jnp.float64
             dr, dt = _pose_diff(r32.T_delta, r64.T_delta)
-            # 50x the measured f32-vs-f64 envelope from the round-4 bisect
-            assert dt < 2e-4, f"f32 translation drifted {dt} m from oracle"
-            assert dr < 2e-3, f"f32 rotation drifted {dr} deg from oracle"
+            # ~10x the measured f32-vs-f64 envelope from the round-4
+            # bisect (3e-6 m / 2e-5 deg): tight enough to trip on a real
+            # solver-precision regression, loose enough for stack jitter
+            assert dt < 3e-5, f"f32 translation drifted {dt} m from oracle"
+            assert dr < 2e-4, f"f32 rotation drifted {dr} deg from oracle"
     finally:
         jax.config.update("jax_enable_x64", False)
 
@@ -158,12 +160,81 @@ def test_refine_quad_preserves_shapes_and_validity():
         uv_rp=jnp.asarray(uv + [-2.0, 0.5]),
         valid=jnp.asarray(rng.uniform(size=n) > 0.3),
     )
-    q2 = matching.refine_quad_subpix(q, imgs[0], imgs[1], imgs[2], imgs[3],
-                                     fc)
-    assert q2.uv_lc.shape == q.uv_lc.shape
-    np.testing.assert_array_equal(np.asarray(q2.valid), np.asarray(q.valid))
-    # refined positions stay within the search trust region
-    assert float(jnp.abs(q2.uv_lc - q.uv_lc).max()) <= fc.refine_search + 0.6
-    # rectified partners keep their anchor's row
-    np.testing.assert_allclose(np.asarray(q2.uv_rp[:, 1]),
-                               np.asarray(q.uv_lp[:, 1]), atol=1e-5)
+    for mode in ("temporal", "full"):
+        fcm = dataclasses.replace(fc, refine_mode=mode)
+        q2 = matching.refine_quad_subpix(q, imgs[0], imgs[1], imgs[2],
+                                         imgs[3], fcm)
+        assert q2.uv_lc.shape == q.uv_lc.shape
+        np.testing.assert_array_equal(np.asarray(q2.valid),
+                                      np.asarray(q.valid))
+        # refined positions stay within the search trust region
+        assert float(jnp.abs(q2.uv_lc - q.uv_lc).max()) \
+            <= fcm.refine_search + 0.6
+        if mode == "temporal":
+            # stereo partners keep their detector positions
+            np.testing.assert_array_equal(np.asarray(q2.uv_rp),
+                                          np.asarray(q.uv_rp))
+            np.testing.assert_array_equal(np.asarray(q2.uv_rc),
+                                          np.asarray(q.uv_rc))
+        else:
+            # rectified partners keep their anchor's row
+            np.testing.assert_allclose(np.asarray(q2.uv_rp[:, 1]),
+                                       np.asarray(q.uv_lp[:, 1]), atol=1e-5)
+
+
+def test_open_loop_drift_golden():
+    """Drive-scale drift golden (VERDICT r4 item 7): ~100 frames of the
+    FLAGSHIP workload (full-res synthetic loop, photometric nuisance,
+    production frontend config) through open-loop VO, asserting the
+    KITTI-style translation drift stays under 0.6% — ~2.5x headroom over
+    the hardened VO's measured 0.17-0.35% band. The round-3 stack refresh
+    moved t_err 0.33% -> 1.2% silently; this trips on the NEXT such
+    observation-level drift before a flagship re-run does."""
+    from denseslam_tpu.config import (StereoConfig, SystemConfig,
+                                      TsdfConfig)
+    from denseslam_tpu.eval import traj_metrics
+    from denseslam_tpu.utils.camera import Intrinsics, StereoRig
+
+    w, h = 1226, 370
+    intr = Intrinsics(fx=707.09, fy=707.09, cx=(w - 1) / 2.0,
+                      cy=(h - 1) / 2.0, width=w, height=h)
+    rig = StereoRig(intr=intr, baseline_m=0.537)
+    cfg = dataclasses.replace(
+        tiny_test_config(), rig=rig, tsdf=TsdfConfig(table_slots=1 << 10),
+        stereo=StereoConfig(max_disparity=64))
+    n = 96
+    gt_full = synthetic.make_loop_trajectory(500, radius_m=18.0,
+                                             closure_frames=44)
+    scene = synthetic.loop_scene(gt_full)
+    gt = gt_full[:n]
+
+    @jax.jit
+    def _noise(lg, rg, i):
+        fi = jnp.asarray(i, jnp.float32)
+        g = 1.0 + 0.15 * jnp.sin(2 * jnp.pi * fi / 150.0)
+        k = jax.random.fold_in(jax.random.PRNGKey(0), i)
+        kl, kr = jax.random.split(k)
+        nl = 2.0 * jax.random.normal(kl, lg.shape, jnp.float32)
+        nr = 2.0 * jax.random.normal(kr, rg.shape, jnp.float32)
+        return jnp.clip(lg * g + nl, 0, 255), jnp.clip(rg * g + nr, 0, 255)
+
+    step = jax.jit(lambda s, l, r: frontend.vo_step(s, l, r, cfg))
+    state = frontend.init_frontend(cfg)
+    est = []
+    for base in range(0, n, 16):
+        hi = min(base + 16, n)
+        lg, rg, _ = synthetic.render_stereo_trajectory(gt[base:hi],
+                                                       cfg.rig, scene)
+        for i in range(hi - base):
+            l, r = _noise(lg[i], rg[i], base + i)
+            state, out = step(state, l, r)
+            est.append(np.asarray(out.T_wc, np.float64))
+    gtl = [gt[i] for i in range(n)]
+    kitti = traj_metrics.kitti_sequence_errors(est, gtl, lengths=(10, 15))
+    t_err = kitti["kitti_t_err_pct"]
+    path_m = float(np.sum(np.linalg.norm(
+        np.diff(np.stack([T[:3, 3] for T in gtl]), axis=0), axis=1)))
+    end_pct = float(np.linalg.norm(
+        est[-1][:3, 3] - gtl[-1][:3, 3])) / path_m * 100.0
+    assert t_err < 0.6, f"open-loop VO drift regressed: t_err {t_err}%"
+    assert end_pct < 0.8, f"end-point drift regressed: {end_pct}%"
