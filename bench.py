@@ -205,6 +205,11 @@ def main(argv=None) -> None:
                             == drive.get("keyframe_every")
                             and r.get("slide_max_age")
                             == drive.get("slide_max_age")
+                            # eval density materially changes fps_steady
+                            # (each eval frame costs ~0.6 s of renders
+                            # inside the steady window)
+                            and r.get("depth_eval_every")
+                            == drive.get("depth_eval_every")
                             and not r.get("blackout")
                             and not r.get("dwell")):
                         same.append(float(r["fps_steady"]))

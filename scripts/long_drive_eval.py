@@ -522,6 +522,7 @@ def main() -> None:
         backend=jax.default_backend(),
         chunk=args.chunk, blackout=args.blackout,
         slide_max_age=args.slide_max_age, decay_min_age=args.decay_min_age,
+        depth_eval_every=args.depth_eval_every,
         depth_eval_min_m=round(z_floor, 3),
         health_ms_pre=round(health_pre, 3),
         health_ms_post=round(_health_ms(), 3),
