@@ -477,6 +477,32 @@ def online_correction(
     return m, db, jnp.where(do_correct, num, 0)
 
 
+def online_correction_delta(m, db, opt_T, opt_valid, cfg,
+                            key_filter=None, tsdf_cfg=None):
+    """online_correction + a changed-rows mask (S,) computed by direct
+    pool comparison — robust to every mutation source (de/re-fusion AND
+    the defusion-part GC, which can free stale slots anywhere). Feeds the
+    delta respill: after a deferred-correction replay on a restored
+    submap, only the changed rows need to re-cross the host boundary
+    (the r5 multi-submap drive paid ~10 s of full compacted fetch per
+    replay cycle at the tunnel's ~10-20 MB/s)."""
+    m2, db2, num = online_correction(m, db, opt_T, opt_valid, cfg,
+                                     key_filter=key_filter,
+                                     tsdf_cfg=tsdf_cfg)
+    # CONTENT changes only: last_seen/alloc_frame stamps flip on every
+    # VISIBLE slot of every replayed frame (most of the pool) and are
+    # (S,) scalars the delta evict fetches wholesale for ~1 MB — folding
+    # them into the row mask made the "delta" ~the whole pool (r5
+    # measurement: enforce stayed ~10 s/cycle)
+    changed = (
+        (m2.table.keys != m.table.keys)
+        | jnp.any(m2.tsdf != m.tsdf, axis=-1)
+        | jnp.any(m2.weight != m.weight, axis=-1)
+        | jnp.any(m2.color != m.color, axis=-1)
+    )
+    return m2, db2, num, changed
+
+
 def purge_culled(
     m: tsdf_ops.MapState,
     db: FusionDB,
@@ -583,15 +609,31 @@ class SubmapManager:
         # marks device-side mutations that invalidate it
         self._spill_cache: List[Optional[tuple]] = []
         self.dirty: List[bool] = []
+        # delta-respill state: when a device mutation reports its changed
+        # rows (mark_dirty(changed_slots=...)), the clean-restore cache is
+        # KEPT and only those rows re-cross the boundary at evict
+        self._delta_rows: List[Optional[np.ndarray]] = []
         self.num_evictions = 0
         self.num_restores = 0
+        self.num_ghost_renders = 0
+        self.num_delta_spills = 0
+        self.num_async_spills = 0
+        self._ghost_cache: dict = {}     # storage-dtype -> jitted builder
+        self._spill_threads: dict = {}   # idx -> in-flight spill worker
         self.create_new(np.eye(4, dtype=np.float32), anchor_frame_id=0)
 
     def create_new(self, T_global: np.ndarray,
                    anchor_frame_id: int = -1,
-                   map_state: Optional[tsdf_ops.MapState] = None) -> int:
+                   map_state: Optional[tsdf_ops.MapState] = None,
+                   async_spill: bool = False,
+                   enforce: bool = True) -> int:
         """map_state overrides the fresh pool (sharded mode spawns a
-        sharded ACTIVE map instead of a single-chip one)."""
+        sharded ACTIVE map instead of a single-chip one). async_spill
+        lets the budget-forced demotion of the old active stream under
+        the next chunk's scan; enforce=False defers the budget check
+        entirely to the caller (the chunked path enforces after its
+        backend tick so the spill stream never serializes the tick's
+        fetches behind it — measured tick 8 s -> 52 s when it did)."""
         self.maps.append(map_state if map_state is not None
                          else tsdf_ops.make_map(self.cfg.tsdf))
         self.dbs.append(make_fusion_db(self.cfg))
@@ -601,9 +643,11 @@ class SubmapManager:
         self.pending_corrections.append({})
         self._spill_cache.append(None)
         self.dirty.append(True)
+        self._delta_rows.append(None)
         # a spawn is when the device footprint jumps by one pool + DB —
         # the natural memory-pressure checkpoint
-        self.enforce_memory_budget()
+        if enforce:
+            self.enforce_memory_budget(async_spill=async_spill)
         return len(self.maps) - 1
 
     def delta(self, idx: int) -> np.ndarray:
@@ -705,7 +749,82 @@ class SubmapManager:
     _gather_rows = staticmethod(jax.jit(tsdf_ops.gather_block_rows))
     _rebuild_rows = staticmethod(jax.jit(tsdf_ops.rebuild_from_rows))
 
+    def finalize_spills(self) -> None:
+        """Join any in-flight async spill workers (their map/db swaps are
+        content-preserving, so readers racing a swap stay correct; the
+        join exists so evict/restore never double-transfer)."""
+        for idx, th in list(self._spill_threads.items()):
+            th.join()
+            del self._spill_threads[idx]
+
+    def evict_to_host_async(self, idx: int) -> bool:
+        """Dispatch the compacted spill fetch now and complete the
+        transfer on a worker thread, overlapping the ~10-20 MB/s tunnel
+        stream with the next chunk's device compute — the reference's
+        swapping engine likewise runs on its own CUDA stream
+        (ITMSwappingEngine, DenseSlam.h:248-251). Falls back to the sync
+        paths when they are already cheap (clean cache, delta rows).
+        Returns True when a worker was started."""
+        import threading
+        if idx in self._spill_threads:
+            return True
+        if self.is_on_host(idx):
+            return False
+        if self._spill_cache[idx] is not None:   # free or delta evict
+            self.evict_to_host(idx)
+            return False
+        m = self.maps[idx]
+        db = self.dbs[idx]
+        s = m.num_slots
+        keys = np.asarray(m.table.keys)          # small (S,) fetch
+        slots = np.flatnonzero(keys != vhash.EMPTY_KEY).astype(np.int32)
+        n = int(slots.size)
+        npad = self._npad(n, s)
+        if npad >= s:
+            self.evict_to_host(idx)
+            return False
+        pad_slots = np.zeros((npad,), np.int32)
+        pad_slots[:n] = slots
+        rows = self._gather_rows(m, jnp.asarray(pad_slots))  # async dispatch
+        payload = rows + (m.frame, m.decayed_blocks, m.overflow, db)
+
+        def work():
+            fetched = jax.device_get(payload)
+            (keys_r, tsdf_r, w_r, c_r, af_r, ls_r,
+             fr, dec, ovf, db_h) = fetched
+            full = tsdf_ops.MapState(
+                table=vhash.HashTable(
+                    keys=np.full((s,), vhash.EMPTY_KEY, np.int32)),
+                tsdf=np.ones((s,) + m.tsdf.shape[1:], tsdf_r.dtype),
+                weight=np.zeros((s,) + m.weight.shape[1:], w_r.dtype),
+                color=np.zeros((s,) + m.color.shape[1:], np.int32),
+                alloc_frame=np.zeros((s,), np.int32),
+                last_seen=np.zeros((s,), np.int32),
+                frame=np.asarray(fr), decayed_blocks=np.asarray(dec),
+                overflow=np.asarray(ovf),
+            )
+            full.table.keys[slots] = keys_r[:n]
+            full.tsdf[slots] = tsdf_r[:n]
+            full.weight[slots] = w_r[:n]
+            full.color[slots] = c_r[:n]
+            full.alloc_frame[slots] = af_r[:n]
+            full.last_seen[slots] = ls_r[:n]
+            # content-preserving swap (device copy -> exact host copy)
+            self.maps[idx] = full
+            self.dbs[idx] = db_h
+            self._spill_cache[idx] = None
+            self._delta_rows[idx] = None
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        self._spill_threads[idx] = th
+        self.num_evictions += 1
+        self.num_async_spills += 1
+        return True
+
     def evict_to_host(self, idx: int) -> None:
+        if idx in self._spill_threads:
+            self._spill_threads.pop(idx).join()
         if self.is_on_host(idx):
             return
         if not self.dirty[idx] and self._spill_cache[idx] is not None:
@@ -715,6 +834,11 @@ class SubmapManager:
             self._spill_cache[idx] = None
             self.num_evictions += 1
             return
+        if (self.dirty[idx] and self._spill_cache[idx] is not None
+                and self._delta_rows[idx] is not None):
+            self._evict_delta(idx)
+            return
+        # fall through: full compacted spill (unknown mutation extent)
         m = self.maps[idx]
         s = m.num_slots
         keys = np.asarray(m.table.keys)
@@ -757,7 +881,65 @@ class SubmapManager:
         self._spill_cache[idx] = None
         self.num_evictions += 1
 
+    def _evict_delta(self, idx: int) -> None:
+        """Evict a device-resident submap whose mutations since restore
+        are fully described by _delta_rows: fetch ONLY those pool rows
+        (plus the small DB pose/validity fields — replay never touches
+        the stored depth/gray frames) and merge them into the still-valid
+        host cache. The merge copies the host planes before writing so a
+        checkpoint holding the old arrays stays intact."""
+        slots = np.asarray(self._delta_rows[idx], np.int32)
+        m = self.maps[idx]
+        db = self.dbs[idx]
+        host_m, host_db = self._spill_cache[idx]
+        if slots.size:
+            s = m.num_slots
+            npad = self._npad(int(slots.size), s)
+            pad_slots = np.zeros((npad,), np.int32)
+            pad_slots[: slots.size] = slots
+            # content rows by delta; the (S,) stamp planes wholesale
+            # (~1 MB — they change on every visible slot per replayed
+            # frame, far more rows than the content delta)
+            fetched = jax.device_get(
+                self._gather_rows(m, jnp.asarray(pad_slots))
+                + (m.alloc_frame, m.last_seen,
+                   m.frame, m.decayed_blocks, m.overflow,
+                   db.T_fused, db.frame_id, db.valid, db.head))
+            (keys_r, tsdf_r, w_r, c_r, _af_r, _ls_r,
+             af_full, ls_full,
+             fr, dec, ovf, dbT, dbf, dbv, dbh) = fetched
+            n = int(slots.size)
+
+            def merge(plane, rows):
+                out = np.array(plane)          # copy-on-write semantics
+                out[slots] = rows[:n]
+                return out
+
+            merged = tsdf_ops.MapState(
+                table=vhash.HashTable(
+                    keys=merge(host_m.table.keys, keys_r)),
+                tsdf=merge(host_m.tsdf, tsdf_r),
+                weight=merge(host_m.weight, w_r),
+                color=merge(host_m.color, c_r),
+                alloc_frame=np.asarray(af_full),
+                last_seen=np.asarray(ls_full),
+                frame=np.asarray(fr), decayed_blocks=np.asarray(dec),
+                overflow=np.asarray(ovf),
+            )
+            self.maps[idx] = merged
+            self.dbs[idx] = host_db._replace(
+                T_fused=np.asarray(dbT), frame_id=np.asarray(dbf),
+                valid=np.asarray(dbv), head=np.asarray(dbh))
+            self.num_delta_spills += 1
+        else:
+            self.maps[idx], self.dbs[idx] = host_m, host_db
+        self._spill_cache[idx] = None
+        self._delta_rows[idx] = None
+        self.num_evictions += 1
+
     def restore_to_device(self, idx: int) -> None:
+        if idx in self._spill_threads:
+            self._spill_threads.pop(idx).join()
         if not self.is_on_host(idx):
             return
         m = self.maps[idx]          # full numpy MapState
@@ -796,10 +978,87 @@ class SubmapManager:
         self.dirty[idx] = False
         self.num_restores += 1
 
-    def mark_dirty(self, idx: int) -> None:
-        """Device-side content changed; the spill cache is stale."""
+    def mark_dirty(self, idx: int,
+                   changed_slots: Optional[np.ndarray] = None) -> None:
+        """Device-side content changed; the spill cache is stale — unless
+        the caller names exactly WHICH rows changed (changed_slots), in
+        which case the host cache stays valid for every other row and the
+        next evict only fetches the delta (a deferred-correction replay
+        touches a few frames' frusta; full compacted respills were ~10 s
+        each over the tunnel on the r5 multi-submap drive)."""
         self.dirty[idx] = True
+        if changed_slots is not None and self._spill_cache[idx] is not None:
+            prev = self._delta_rows[idx]
+            self._delta_rows[idx] = (changed_slots if prev is None
+                                     else np.union1d(prev, changed_slots))
+            return
         self._spill_cache[idx] = None
+        self._delta_rows[idx] = None
+
+    # -- render-only ghost restore -----------------------------------------
+
+    def _ghost_build_fn(self, sd):
+        """Per-storage-dtype jitted builder for ghost render states."""
+        key = str(sd)
+        fn = self._ghost_cache.get(key)
+        if fn is None:
+            @jax.jit
+            def build(inv, keys_full, tsdf_r, w_r, frame):
+                s = inv.shape[0]
+                tsdf_p = jnp.concatenate(
+                    [tsdf_r.astype(sd),
+                     jnp.ones((1, tsdf_ops.BLOCK_VOL), sd)])
+                w_p = jnp.concatenate(
+                    [w_r.astype(sd),
+                     jnp.zeros((1, tsdf_ops.BLOCK_VOL), sd)])
+                return tsdf_ops.MapState(
+                    table=vhash.HashTable(keys=keys_full),
+                    tsdf=tsdf_p[inv],
+                    weight=w_p[inv],
+                    color=jnp.zeros((s, tsdf_ops.BLOCK_VOL), jnp.int32),
+                    alloc_frame=jnp.zeros((s,), jnp.int32),
+                    last_seen=jnp.zeros((s,), jnp.int32),
+                    frame=jnp.asarray(frame, jnp.int32),
+                    decayed_blocks=jnp.zeros((), jnp.int32),
+                    overflow=jnp.zeros((), jnp.int32),
+                )
+
+            fn = self._ghost_cache[key] = build
+        return fn
+
+    def ghost_render_state(self, idx: int,
+                           slots: np.ndarray) -> tsdf_ops.MapState:
+        """Transient render-only device state of a HOST-resident submap,
+        streaming ONLY the given block rows — the swapping engine's
+        visible-block streaming, specialised for composite eval renders
+        (reference: ITMSwappingEngine moves visible blocks, not pools;
+        DenseSlam.h:248-251). A full restore uploads every allocated row
+        in full precision plus the fusion DB (~130 MB/submap mid-drive,
+        5-12 s per eval frame over the tunneled runtime, r5 measurement);
+        a ghost uploads the in-view rows as f16 tsdf + u8 weight and the
+        full key array (probe chains must stay intact — dropping keys
+        would orphan surviving keys whose open-addressing path crosses
+        them), ~15x less traffic. The splat renderer reads weight only as
+        an observed mask (w > 0), which u8-ceil preserves exactly; color
+        reads as zeros, so ghosts serve depth eval, not color previews.
+        The host copy stays authoritative: nothing is marked resident,
+        dirty, or budget-relevant."""
+        m = self.maps[idx]
+        s = m.tsdf.shape[0]
+        n = int(slots.size)
+        npad = self._npad(n, s)
+        pad_slots = np.zeros((npad,), np.int32)
+        pad_slots[:n] = slots
+        inv = np.full((s,), npad, np.int32)
+        inv[slots] = np.arange(n, dtype=np.int32)
+        tsdf_r = np.asarray(m.tsdf[pad_slots], np.float32).astype(np.float16)
+        w_r = np.ceil(np.clip(np.asarray(m.weight[pad_slots], np.float32),
+                              0, 255)).astype(np.uint8)
+        sd = jnp.asarray(m.tsdf[:1, :1]).dtype   # storage dtype
+        return self._ghost_build_fn(sd)(
+            jnp.asarray(inv), jnp.asarray(m.table.keys),
+            jnp.asarray(tsdf_r), jnp.asarray(w_r),
+            jnp.asarray(m.frame, jnp.int32))
 
     def is_on_host(self, idx: int) -> bool:
         return isinstance(self.maps[idx].tsdf, np.ndarray)
@@ -839,7 +1098,7 @@ class SubmapManager:
                 total += self.submap_device_bytes(i)
         return total
 
-    def enforce_memory_budget(self) -> List[int]:
+    def enforce_memory_budget(self, async_spill: bool = False) -> List[int]:
         """Spill the oldest non-active DIRTY device-resident submaps until
         committed bytes fit `pipeline.map_memory_budget_mb` (<0 =
         unbounded). The active submap is never evicted (it is being fused
@@ -859,10 +1118,18 @@ class SubmapManager:
             if self.committed_memory_bytes() <= budget:
                 break
             # only dirty residents count against the budget, so only
-            # they can bring it down
+            # they can bring it down. async_spill (the spawn path)
+            # dispatches the fetch and streams it under the next chunk's
+            # scan; in-flight submaps still count as resident, so the
+            # loop won't re-evict them
             if not self.is_on_host(idx) and self.dirty[idx]:
-                self.evict_to_host(idx)
+                if async_spill:
+                    self.evict_to_host_async(idx)
+                else:
+                    self.evict_to_host(idx)
                 evicted.append(idx)
+                if async_spill:
+                    break   # bytes free only at join; avoid over-evicting
         # The budget is a HARD cap on real HBM, not just on committed
         # bytes: clean render-cache residents are free to keep only while
         # TRUE footprint has headroom. After an eval burst restores many
@@ -1025,6 +1292,10 @@ class DenseSLAM:
             functools.partial(pg_ops.optimize, cfg=cfg.backend))
         self._postproc = jax.jit(functools.partial(depth_postprocess, cfg=cfg))
         self._correct = jax.jit(functools.partial(online_correction, cfg=cfg))
+        # delta variant for deferred-correction replay on restored submaps
+        # (returns the changed-rows mask the delta respill needs)
+        self._correct_delta = jax.jit(
+            functools.partial(online_correction_delta, cfg=cfg))
         self._purge = jax.jit(functools.partial(purge_culled, cfg=cfg))
         self._composite_first = jax.jit(_composite_transform)
         self._composite_merge = jax.jit(_composite_merge)
@@ -1201,7 +1472,7 @@ class DenseSLAM:
         return self._finish_frame_record(pose_nb, fused, tracking_ok,
                                          vo_stats)
 
-    def maybe_spawn_submap(self, T_wc) -> bool:
+    def maybe_spawn_submap(self, T_wc, defer_enforce: bool = False) -> bool:
         """New-submap policy (reference: shouldStartNewLocalMap +
         createNewLocalMap, DenseSlam.cpp:133-148, 554-571): spawn when the
         current frame's visible fraction of the active map is low. The
@@ -1239,8 +1510,10 @@ class DenseSLAM:
                                     map_state=self._sharded.make_map())
         else:
             self.submaps.create_new(np.asarray(T_wc),
-                                    anchor_frame_id=self.frame)
-        self.submaps.enforce_memory_budget()
+                                    anchor_frame_id=self.frame,
+                                    enforce=not defer_enforce)
+        if not defer_enforce:
+            self.submaps.enforce_memory_budget()
         return True
 
     def _finish_frame_record(self, pose_nb, fused, tracking_ok, vo_stats):
@@ -1293,17 +1566,20 @@ class DenseSLAM:
         pend.clear()
         if not opt_valid.any():
             return
-        m, db, num = self._correct(self.submaps.maps[si], db_i,
-                                   jnp.asarray(opt_T), jnp.asarray(opt_valid))
+        m, db, num, changed = self._correct_delta(
+            self.submaps.maps[si], db_i,
+            jnp.asarray(opt_T), jnp.asarray(opt_valid))
         self.submaps.maps[si] = m
         self.submaps.dbs[si] = db
         # dirty ONLY when the replay actually re-fused something: tiny
-        # deltas are rejected by _correct's min_error gate and leave the
-        # map bit-identical — marking those dirty forced a full
-        # fetch-spill + re-upload per eval cycle (the multi-submap
-        # drive's remaining eval cost)
-        if int(jax.device_get(num)) > 0:
-            self.submaps.mark_dirty(si)
+        # deltas are rejected by the correction's min_error gate and
+        # leave the map bit-identical. The changed-rows mask rides the
+        # num fetch, so the eventual evict re-crosses only the rows the
+        # replay touched (delta respill) instead of the whole pool.
+        num_h, changed_h = jax.device_get((num, changed))
+        if int(num_h) > 0:
+            self.submaps.mark_dirty(
+                si, changed_slots=np.flatnonzero(changed_h))
 
     def flush_deferred_corrections(self) -> int:
         """Sequence-end replay of every sub-trigger deferred correction:
@@ -1320,7 +1596,8 @@ class DenseSLAM:
             self.submaps.enforce_memory_budget()
         return n
 
-    def apply_pose_updates(self, frame_ids: np.ndarray, poses: np.ndarray) -> int:
+    def apply_pose_updates(self, frame_ids: np.ndarray, poses: np.ndarray,
+                           enforce_budget: bool = True) -> int:
         """Feed backend-optimised poses; runs OnlineCorrection on EVERY
         device-resident submap whose fusion DB holds affected frames (the
         correction history survives submap spawns), then relaxes the
@@ -1417,7 +1694,8 @@ class DenseSLAM:
         for (si, _), n in zip(nums, fetched):
             if int(n) > 0:
                 self.submaps.mark_dirty(si)
-        self.submaps.enforce_memory_budget()
+        if enforce_budget:   # chunk mode defers to its post-tick enforce
+            self.submaps.enforce_memory_budget()
         return int(np.sum(fetched)) if fetched else 0
 
     def purge_keyframes(self, culled_frame_ids: np.ndarray) -> None:
@@ -1456,24 +1734,22 @@ class DenseSLAM:
     def get_preview(self, kind: str, T_wc: Optional[jax.Array] = None):
         return rc_ops.render_preview(self.raycast_view(T_wc), kind)
 
-    def _spilled_submap_in_view(self, idx: int, T_wc,
-                                min_blocks: int = 2) -> bool:
-        """Cheap HOST-side visibility test for a host-resident submap:
-        project a subsample of its allocated block centers (numpy bit
-        unpack of the packed keys — no device work) through the current
-        alignment delta into the camera at T_wc; visible when at least
-        `min_blocks` land in the frustum within max_depth. min_blocks is
-        deliberately low (a thin sliver still contributes real geometry;
-        a false positive costs one wasted restore, a false negative
-        scores holes in the composite eval) and the frustum pad is
-        depth-dependent — a near block's extent projects far past its
-        center, so a fixed-pixel pad culled close-range geometry."""
+    def _inview_slots(self, idx: int, T_wc) -> np.ndarray:
+        """HOST-side frustum filter for a host-resident submap: project
+        every allocated block center (numpy bit unpack of the packed keys
+        — no device work) through the current alignment delta into the
+        camera at T_wc; return the slot indices that land in the frustum
+        within max_depth. The frustum pad is depth-dependent — a block's
+        extent (half-diagonal 0.87*bs) projects far past its center up
+        close, so a fixed-pixel pad culled near geometry — with a 16 px
+        floor of slack. Feeds both the restore gate and the ghost-render
+        row selection."""
         m = self.submaps.maps[idx]
         keys = np.asarray(m.table.keys)
-        ks = keys[keys != vhash.EMPTY_KEY]
-        if ks.size == 0:
-            return False
-        ks = ks[:: max(1, ks.size // 4096)]
+        alloc = np.flatnonzero(keys != vhash.EMPTY_KEY).astype(np.int32)
+        if alloc.size == 0:
+            return alloc
+        ks = keys[alloc]
         half = int(vhash.PACK_HALF)
         mask = (1 << int(vhash.PACK_BITS)) - 1
         bx = (ks & mask) - half
@@ -1485,19 +1761,26 @@ class DenseSLAM:
             self.submaps.delta(idx), np.float64)
         pc = P @ M[:3, :3].T + M[:3, 3]
         z = pc[:, 2]
-        ok = (z > 0.2) & (z < self.cfg.tsdf.max_depth_m + bs)
+        ok = (z > 0.2 - bs) & (z < self.cfg.tsdf.max_depth_m + 2 * bs)
         intr = self.cfg.rig.intr
         u = pc[:, 0] / np.maximum(z, 0.2) * intr.fx + intr.cx
         v = pc[:, 1] / np.maximum(z, 0.2) * intr.fy + intr.cy
-        # per-block pad = the projected half-extent (half-diagonal
-        # 0.87*bs) at its depth, floored at 8 px for subsampling slack
-        pad = np.maximum(intr.fx * 0.87 * bs / np.maximum(z, 0.2), 8.0)
+        pad = np.maximum(intr.fx * 0.87 * bs / np.maximum(z, 0.2), 16.0)
         ok &= (u > -pad) & (u < intr.width + pad) \
             & (v > -pad) & (v < intr.height + pad)
-        return int(ok.sum()) >= min_blocks
+        return alloc[ok]
+
+    def _spilled_submap_in_view(self, idx: int, T_wc,
+                                min_blocks: int = 2) -> bool:
+        """Visibility gate on the frustum filter. min_blocks is
+        deliberately low: a thin sliver still contributes real geometry;
+        a false positive costs one wasted restore, a false negative
+        scores holes in the composite eval."""
+        return self._inview_slots(idx, T_wc).size >= min_blocks
 
     def raycast_composite(self, T_wc: Optional[jax.Array] = None,
-                          respill: bool = True) -> rc_ops.Raycast:
+                          respill: bool = True,
+                          ghost: bool = False) -> rc_ops.Raycast:
         """Raycast across ALL device-resident submaps, min-depth combined —
         the multi-local-map rendering the reference gets from
         ITMVoxelMapGraphManager's composite visualisation. Each submap is
@@ -1508,13 +1791,24 @@ class DenseSLAM:
         respill=False leaves restored submaps device-resident (callers
         rendering a BURST of composite views — the drive's eval frames —
         re-enforce the memory budget afterwards; a clean, unmutated
-        restore then evicts for free via the spill cache)."""
+        restore then evicts for free via the spill cache).
+
+        ghost=True renders host-resident submaps from a TRANSIENT
+        in-view-rows-only upload (ghost_render_state, ~15x less tunnel
+        traffic than a restore) instead of swapping them in — the r5
+        multi-submap drive spent 5-12 s per eval frame on full restores.
+        Deferred corrections past the replay trigger still force a full
+        restore so the composite always reflects every super-trigger
+        correction; ghosts render depth only (color reads zero), so keep
+        ghost=False for color previews and mesh/save paths."""
         T = T_wc if T_wc is not None else jnp.asarray(self.fe_state.T_wc)
         best: Optional[rc_ops.Raycast] = None
         for idx in range(self.submaps.num_local_maps):
             respill_this = False
+            ghost_m = None
             if self.submaps.is_on_host(idx):
-                if not self._spilled_submap_in_view(idx, T):
+                slots = self._inview_slots(idx, T)
+                if slots.size < 2:
                     # pure-host frustum gate: restoring a spilled submap
                     # uploads its whole pool over the tunnel; a submap
                     # whose blocks don't project into this view cannot
@@ -1522,12 +1816,20 @@ class DenseSLAM:
                     # multi-second restores for submaps BEHIND the
                     # camera)
                     continue
-                # spilled submaps still appear in the composite: restore
-                # (replaying deferred corrections), render, spill back —
-                # the reference's swapped-out submaps round-trip through
-                # the swapping engine the same way
-                self.restore_submap(idx)
-                respill_this = respill
+                pend = self.submaps.pending_corrections[idx]
+                trigger = any(
+                    err > self.cfg.correction.inactive_min_error
+                    for _, err in pend.values())
+                if ghost and not trigger and self._sharded is None:
+                    ghost_m = self.submaps.ghost_render_state(idx, slots)
+                    self.submaps.num_ghost_renders += 1
+                else:
+                    # spilled submap with armed corrections (or a color
+                    # consumer): restore — replaying deferred corrections
+                    # — render, spill back; the reference's swapped-out
+                    # submaps round-trip the swapping engine the same way
+                    self.restore_submap(idx)
+                    respill_this = respill
             elif (idx != self.submaps.active_idx
                   and self.submaps.pending_corrections[idx]):
                 # cache-resident inactive submap with deferred
@@ -1544,6 +1846,8 @@ class DenseSLAM:
                 # single-chip program
                 rc = self._sharded.raycast(self.submaps.maps[idx],
                                            lie.inv_T(D) @ T)
+            elif ghost_m is not None:
+                rc = self._raycast(ghost_m, lie.inv_T(D) @ T)
             else:
                 rc = self._raycast(self.submaps.maps[idx], lie.inv_T(D) @ T)
             # ONE jitted program for transform + min-depth merge: the

@@ -168,9 +168,33 @@ class SLAMSystem:
         eye = jnp.eye(4, dtype=jnp.float32)
         rc1 = slam._composite_first(rc0, eye)
         rc2 = slam._composite_merge(rc1, rc0, eye)
+        # ghost-render builder (composite eval of spilled submaps): its
+        # first-use compile must not land inside an eval burst mid-drive
+        ghost_sync = rc2.depth[0, 0]
+        if (cfg.pipeline.new_submap_threshold >= 0
+                or cfg.pipeline.map_memory_budget_mb >= 0):
+            from ..ops.tsdf import BLOCK_VOL
+            # the delta-returning correction replay (restore_submap's
+            # program) — first use otherwise compiles mid-drive
+            if slam._sharded is None:
+                _, _, numd, chg = slam._correct_delta(
+                    slam.submaps.active, db0, opt_T, no)
+                jax.device_get((numd, chg[0]))
+            sm = slam.submaps
+            s = cfg.tsdf.table_slots
+            sd = jnp.asarray(sm.active.tsdf[:1, :1]).dtype
+            build = sm._ghost_build_fn(sd)
+            for npad in sorted({min(b, s) for b in
+                                (4096, 8192, 12288, 16384)}):
+                gm = build(jnp.zeros((s,), jnp.int32),
+                           jnp.zeros((s,), jnp.int32),
+                           jnp.zeros((npad, BLOCK_VOL), jnp.float16),
+                           jnp.zeros((npad, BLOCK_VOL), jnp.uint8),
+                           jnp.zeros((), jnp.int32))
+                ghost_sync = ghost_sync + gm.tsdf[0, 0].astype(jnp.float32)
         # sync everything above via scalar fetches (block_until_ready is
         # not a reliable barrier on the tunneled runtime)
-        jax.device_get((n_inl, g.T_wc[0, 0, 0], num, rc2.depth[0, 0]))
+        jax.device_get((n_inl, g.T_wc[0, 0, 0], num, ghost_sync))
         if chunk and slam._sharded is None:
             # the chunk-scan program on throwaway state (m/db are donated)
             from . import frontend as fe
@@ -327,6 +351,12 @@ class SLAMSystem:
             (stats["T_wc"], stats["fused"], stats["tracking_ok"],
              stats["sig"]))
         self.phase_s["scan_wait_fetch"] += _time.perf_counter() - tf
+        # async spawn-spills dispatched last chunk streamed under this
+        # chunk's scan; whatever remains unfinished is the true serial
+        # cost (phase "spill_wait")
+        t_sw = _time.perf_counter()
+        slam.submaps.finalize_spills()
+        self.phase_s["spill_wait"] += _time.perf_counter() - t_sw
         fused_any = bool(fused_flags.any())
         import os
         _dbg = bool(os.environ.get("DSL_DEBUG_RESYNC"))
@@ -471,13 +501,29 @@ class SLAMSystem:
             anchor = (np.asarray(self.backend.keyframes[-1].T_wc,
                                  np.float32)
                       if self.backend.keyframes else _orth(T_all[j_last]))
-            slam.maybe_spawn_submap(anchor)
+            t_sp = _time.perf_counter()
+            # defer the budget-forced spill of the demoted submap PAST
+            # the tick: the spawn decision must read the pre-tick
+            # visible fraction, but dispatching the ~190 MB spill fetch
+            # here made every tick fetch queue behind it on the serial
+            # tunnel (measured tick 8 s -> 52 s); enforcing after the
+            # tick lets the async stream ride the eval + next chunk's
+            # scan window instead
+            slam.maybe_spawn_submap(anchor, defer_enforce=True)
+            self.phase_s["spawn"] += _time.perf_counter() - t_sp
 
         # ---- ONE backend tick for the whole chunk -----------------------
         t_tk = _time.perf_counter()
         if fused_any:
             self._chunk_tick()
         self.phase_s["tick"] += _time.perf_counter() - t_tk
+        # budget enforcement deferred from the spawn check: dispatch the
+        # demoted submap's compacted spill NOW (async) so it streams
+        # under the caller's eval work and the next chunk's scan; the
+        # post-scan finalize_spills() join measures any residual
+        t_sp = _time.perf_counter()
+        slam.submaps.enforce_memory_budget(async_spill=True)
+        self.phase_s["spawn"] += _time.perf_counter() - t_sp
 
         # ---- world-side correction from the tick (+ reloc), applied to
         # the chunk's history and the frontier in one re-anchor ----------
@@ -538,7 +584,13 @@ class SLAMSystem:
         if (self.loop_every and self._tick_count % self.loop_every == 0
                 and self.backend.detect_loop() is not None):
             self.num_loops += 1
+            t_g = _time.perf_counter()
             ids, opt = self.backend.optimize_graph()
+            # attributed separately: on the round-5 multi-submap drive
+            # tick_loop ballooned to 72 s with dl_* near zero — the
+            # unattributed remainder is the graph relaxation + its fetch
+            self.phase_s["dl_graph"] = self.phase_s.get(
+                "dl_graph", 0.0) + (_time.perf_counter() - t_g)
             for f, p in zip(ids, opt):
                 updates[int(f)] = p
         self.phase_s["tick_loop"] += _time.perf_counter() - t0
@@ -558,7 +610,8 @@ class SLAMSystem:
         if updates:
             ids = np.fromiter(updates.keys(), np.int64, len(updates))
             poses = np.stack([updates[int(f)] for f in ids])
-            self.num_corrections += self.slam.apply_pose_updates(ids, poses)
+            self.num_corrections += self.slam.apply_pose_updates(
+                ids, poses, enforce_budget=False)
         self.phase_s["tick_apply"] += _time.perf_counter() - t0
 
     def _backend_tick(self, resync: bool = True) -> np.ndarray:
@@ -632,9 +685,11 @@ class SLAMSystem:
         return delta
 
     def finish(self) -> None:
-        """Sequence end: replay every still-deferred inactive-submap
-        correction (the finished map must carry the full correction
-        history), then decay catch-up (reference DecayCatchup)."""
+        """Sequence end: land in-flight spills, replay every
+        still-deferred inactive-submap correction (the finished map must
+        carry the full correction history), then decay catch-up
+        (reference DecayCatchup)."""
+        self.slam.submaps.finalize_spills()
         self.slam.flush_deferred_corrections()
         self.slam.decay_catchup()
 

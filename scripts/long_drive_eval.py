@@ -449,7 +449,7 @@ def main() -> None:
                 # PER eval frame -> 0.4 fps); the budget is re-enforced
                 # right after, and clean restores evict for free
                 rc = np.asarray(system.slam.raycast_composite(
-                    T_est, respill=False).depth)
+                    T_est, respill=False, ghost=True).depth)
             else:
                 rc = np.asarray(system.slam.raycast_view(T_est).depth)
             ev_t["rc"] += time.perf_counter() - t_rc
@@ -458,28 +458,40 @@ def main() -> None:
             gtd_e = np.array(gt_at_est)
             ev_t["gt"] += time.perf_counter() - t_gt
             gtd_e[gtd_e > cfg.tsdf.max_depth_m] = 0.0
+            t_met = time.perf_counter()
             dm_acc.append(depth_metrics.depth_metrics(
                 rc, gtd_e, min_depth=z_floor, max_depth=cfg.tsdf.max_depth_m))
+            ev_t["met"] += time.perf_counter() - t_met
             # reference-style: same render scored against GT depth at the
             # TRUE pose (pose drift leaks in, as it does on real data)
+            t_gt = time.perf_counter()
             T_gt = jnp.asarray(gt[t])
             _, gt_d = synthetic.render_view(T_gt, intr, scene)
             gtd = np.array(gt_d)
+            ev_t["gt"] += time.perf_counter() - t_gt
             gtd[gtd > cfg.tsdf.max_depth_m] = 0.0
+            t_met = time.perf_counter()
             dm_gt_acc.append(depth_metrics.depth_metrics(
                 rc, gtd, min_depth=z_floor, max_depth=cfg.tsdf.max_depth_m))
+            ev_t["met"] += time.perf_counter() - t_met
+            t_sgm = time.perf_counter()
             if args.sensor in ("rgbd", "mono"):
                 d_in = np.asarray(rights[t - base])   # the supplied depth
             else:
                 d_in, v_in = _sgm_eval(lefts[t - base], rights[t - base])
                 d_in = np.asarray(jnp.where(v_in, d_in, 0.0))
+            ev_t["sgm"] += time.perf_counter() - t_sgm
+            t_met = time.perf_counter()
             dm_in_acc.append(depth_metrics.depth_metrics(
                 d_in, gtd, min_depth=z_floor,
                 max_depth=cfg.tsdf.max_depth_m))
+            ev_t["met"] += time.perf_counter() - t_met
         if eval_frames and len(system.slam.submaps.maps) > 1:
             # re-enforce the budget after the eval burst (composite ran
             # with respill=False); untouched restores evict for free
+            t_enf = time.perf_counter()
             system.slam.submaps.enforce_memory_budget()
+            ev_t["enforce"] = time.perf_counter() - t_enf
         if eval_frames and os.environ.get("DSL_EVAL_TIMERS"):
             print(f"    eval@{eval_frames}: " + " ".join(
                 f"{k}={v:.1f}s" for k, v in ev_t.items()), flush=True)

@@ -328,3 +328,123 @@ def test_budget_caps_clean_cache_footprint(cfg):
     assert 0 in evicted
     assert slam.submaps.is_on_host(0)
     assert slam.submaps.device_memory_bytes() <= 1.5 * one
+
+
+def test_ghost_render_matches_full_restore(cfg):
+    """Composite eval of a spilled submap via the render-only ghost path
+    (in-view rows, f16 tsdf + u8 weight, no restore) must reproduce the
+    full restore-render-respill composite's depth, leave the submap on
+    host, and count no restore."""
+    slam = DenseSLAM(cfg)
+    gt = synthetic.make_trajectory(5, step_m=0.06, yaw_rate=0.0)
+    for i in range(3):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(gt[i]))
+    slam.submaps.create_new(np.asarray(gt[3]), anchor_frame_id=3)
+    slam.submaps.evict_to_host(0)
+    for i in range(3, 5):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(gt[i]))
+
+    T_eval = jnp.asarray(gt[0])
+    d_full = np.asarray(slam.raycast_composite(T_eval).depth)
+    assert slam.submaps.is_on_host(0)
+    restores_before = slam.submaps.num_restores
+    d_ghost = np.asarray(slam.raycast_composite(T_eval, ghost=True).depth)
+    assert slam.submaps.is_on_host(0)
+    assert slam.submaps.num_restores == restores_before
+    assert slam.submaps.num_ghost_renders >= 1
+
+    both = (d_full > 0) & (d_ghost > 0)
+    assert both.sum() > 500
+    # f16 tsdf quantisation moves the splat surface estimate by well
+    # under a voxel
+    assert np.median(np.abs(d_full[both] - d_ghost[both])) < 0.02
+    # coverage parity: the in-view row filter must not drop contributing
+    # blocks
+    assert (d_ghost > 0).sum() > 0.95 * (d_full > 0).sum()
+
+
+def test_delta_respill_bit_exact(cfg):
+    """After a deferred-correction replay on a restored submap, the evict
+    takes the delta path (only changed rows re-cross the host boundary)
+    and the merged host copy must be BIT-IDENTICAL to a full fetch of the
+    post-replay device state."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    slam = DenseSLAM(cfg)
+    gt = synthetic.make_trajectory(5, step_m=0.06, yaw_rate=0.0)
+    drift = []
+    for i in range(5):
+        xi = np.concatenate([rng.normal(0, 0.04, 3),
+                             rng.normal(0, 0.01, 3)]).astype(np.float32)
+        drift.append(np.asarray(
+            jnp.asarray(gt[i]) @ lie.se3_exp(jnp.asarray(xi))))
+    for i in range(3):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(drift[i]))
+    slam.submaps.create_new(np.asarray(drift[3]), anchor_frame_id=3)
+    slam.submaps.evict_to_host(0)
+    for i in range(3, 5):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(drift[i]))
+    slam.apply_pose_updates(
+        np.arange(5), np.stack([np.asarray(g) for g in gt]))
+    assert slam.submaps.pending_corrections[0]
+
+    slam.restore_submap(0)          # replay -> dirty with delta rows
+    assert slam.submaps.dirty[0]
+    assert slam.submaps._delta_rows[0] is not None
+    assert slam.submaps._delta_rows[0].size > 0
+    full_ref = jax.tree.map(np.asarray, slam.submaps.maps[0])
+    db_ref = jax.tree.map(np.asarray, slam.submaps.dbs[0])
+
+    slam.submaps.evict_to_host(0)
+    assert slam.submaps.num_delta_spills == 1
+    assert slam.submaps.is_on_host(0)
+    got = slam.submaps.maps[0]
+    for a, b in zip(jax.tree.leaves(full_ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(db_ref),
+                    jax.tree.leaves(slam.submaps.dbs[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_spill_matches_sync(cfg):
+    """evict_to_host_async must produce the same host copy as the sync
+    compacted spill — the transfer just completes on a worker thread
+    (the swapping engine's async stream)."""
+    import jax
+
+    slam = DenseSLAM(cfg)
+    gt = synthetic.make_trajectory(3, step_m=0.06, yaw_rate=0.0)
+    for i in range(3):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(gt[i]))
+    slam.submaps.create_new(np.asarray(gt[2]), anchor_frame_id=2)
+    # the tiny test pool (4096 slots) fits one row bucket, which the
+    # async path declines as not-compacted; shrink the bucket so the
+    # compacted transfer actually runs
+    slam.submaps._SPILL_GRAN = 256
+    ref = jax.tree.map(np.asarray, slam.submaps.maps[0])
+    db_ref = jax.tree.map(np.asarray, slam.submaps.dbs[0])
+    started = slam.submaps.evict_to_host_async(0)
+    assert started
+    assert slam.submaps.num_async_spills == 1
+    slam.submaps.finalize_spills()
+    assert slam.submaps.is_on_host(0)
+    for a, b in zip(jax.tree.leaves(ref),
+                    jax.tree.leaves(slam.submaps.maps[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(db_ref),
+                    jax.tree.leaves(slam.submaps.dbs[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a second restore after an async spill round-trips fine
+    slam.submaps.restore_to_device(0)
+    assert not slam.submaps.is_on_host(0)
