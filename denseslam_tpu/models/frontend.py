@@ -248,9 +248,12 @@ def rgbd_vo_step(
     if fc.subpixel_refine:
         # temporal-leg refinement only: the right views are VIRTUAL
         # (disparity synthesized from sensor depth), so only the real
-        # lp -> lc correspondence has image support to correlate.
+        # lp -> lc correspondence has image support to correlate. The
+        # predicted-scale anchor (disp from the sensor depth) carries the
+        # stereo path's forward-motion scale compensation.
         uv_lc_m = matching.refine_temporal_subpix(
-            state.img_l, gray, uv_lp, f_lc.uv, ok, fc)
+            state.img_l, gray, uv_lp, f_lc.uv, ok, fc,
+            disp_prev=disp_lp, T_pred=state.T_delta_prev, rig=cfg.rig)
     q = matching.QuadMatches(
         idx_lc=i_lc, idx_rc=i_lc, idx_lp=m, idx_rp=m,
         uv_lc=uv_lc_m,

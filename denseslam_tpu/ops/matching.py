@@ -429,16 +429,39 @@ def refine_temporal_subpix(
     uv_curr: jax.Array,
     valid: jax.Array,
     cfg: FrontendConfig,
+    disp_prev: jax.Array | None = None,
+    T_pred: jax.Array | None = None,
+    rig=None,
 ) -> jax.Array:
     """Compacted 2D temporal-leg refinement for single-image sensors
     (rgbd/mono): anchor at the previous frame's position, correlate in
     the current frame; only the first refine_cap valid-compacted rows
-    run. Returns refined uv_curr."""
+    run. Returns refined uv_curr.
+
+    With (disp_prev, T_pred, rig) the anchor is resampled at the
+    predicted per-feature scale z_curr/z_prev — the same forward-motion
+    scale compensation the stereo path's refine_quad_subpix carries;
+    without it, correlating an unexpanded anchor against the expanded
+    current patch systematically undershoots radial flow (a direct
+    translation-scale bias, measured -0.8%/frame on the stereo drive
+    and the r5 RGB-D drive's dominant drift term)."""
     m = uv_curr.shape[0]
     cap = min(cfg.refine_cap, m)
     order = jnp.argsort(~valid, stable=True)[:cap]
     half = cfg.refine_patch // 2
-    anchor = _bilinear_patches(img_prev, uv_prev[order], half)
+    if disp_prev is not None and T_pred is not None and rig is not None:
+        uv_p = uv_prev[order]
+        disp = jnp.maximum(disp_prev[order], 0.5)
+        z_p = rig.intr.fx * rig.baseline_m / disp
+        x_p = (uv_p[:, 0] - rig.intr.cx) / rig.intr.fx * z_p
+        y_p = (uv_p[:, 1] - rig.intr.cy) / rig.intr.fy * z_p
+        z_c = (T_pred[2, 0] * x_p + T_pred[2, 1] * y_p
+               + T_pred[2, 2] * z_p + T_pred[2, 3])
+        scale = jnp.clip(z_c / jnp.maximum(z_p, 0.5), 0.75, 1.3)
+        scale = jnp.where(disp_prev[order] > 0.5, scale, 1.0)
+        anchor = _bilinear_patches(img_prev, uv_p, half, scale=scale)
+    else:
+        anchor = _bilinear_patches(img_prev, uv_prev[order], half)
     ref = _refine_leg(anchor, img_curr, uv_curr[order], half,
                       cfg.refine_search, du_only=False)
     ref = jnp.where(valid[order][:, None], ref, uv_curr[order])
