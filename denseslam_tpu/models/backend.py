@@ -371,17 +371,33 @@ class Backend:
     # -- keyframe culling --------------------------------------------------
 
     def cull_redundant(self, min_frac: float = 0.9,
-                       min_obs: int = 20) -> List[int]:
+                       min_obs: int = 20,
+                       near_dist_m: float = 0.15,
+                       near_rot_deg: float = 3.0,
+                       min_frac_near: float = 0.5) -> List[int]:
         """Cull at most ONE redundant keyframe from the last BA window.
 
-        ORB-SLAM2's KeyFrameCulling rule, re-expressed over the BA window's
-        observation mask: a keyframe is redundant when >= `min_frac` of the
-        landmarks it observes are also observed by >= 3 OTHER keyframes —
-        it adds no constraints the rest of the window doesn't already
-        carry. The newest keyframe, the global anchor, and loop-edge
-        keyframes are never culled. Returns the culled frame ids (the
-        producer feeding DenseSLAM.purge_keyframes — reference purges the
-        culled keyframes' fused frames at DenseSlam.cpp:417-429)."""
+        Two redundancy signals, either fires:
+
+        1. ORB-SLAM2's KeyFrameCulling rule over the BA window's
+           observation mask — a keyframe is redundant when >= `min_frac`
+           of the landmarks it observes are also observed by >= 3 OTHER
+           keyframes. Calibration caveat (r5 dwell drive): this mask
+           counts co-observation via pairwise mutual-NN matching whose
+           recall caps the measurable fraction at ~0.67-0.71 even for a
+           STATIONARY camera (true redundancy 1.0), overlapping the
+           0.40-0.66 cruising band — so signal 1 alone cannot separate.
+        2. Pose coincidence: another window keyframe sits within
+           (`near_dist_m`, `near_rot_deg`) AND >= `min_frac_near` of the
+           candidate's landmarks are co-observed. Cruising keyframes are
+           ~1 m apart (keyframe_every x ~0.23 m/frame), so this branch
+           only ever fires for genuinely dwelling cameras (a stop at an
+           intersection — the reference scenario for KeyFrameCulling).
+
+        The newest keyframe, the global anchor, and loop-edge keyframes
+        are never culled. Returns the culled frame ids (the producer
+        feeding DenseSLAM.purge_keyframes — reference purges the culled
+        keyframes' fused frames at DenseSlam.cpp:417-429)."""
         if self._last_window_mask is None or len(self.keyframes) < 4:
             return []
         mask = self._last_window_mask            # (L, k) bool
@@ -392,6 +408,9 @@ class Backend:
         loop_fids = {f for e in self.loop_edges for f in (e[0], e[1])}
         first_fid = self.keyframes[0].frame_id
         obs_per_lm = mask.sum(axis=1)
+        kf_by_id = {kf.frame_id: kf for kf in self.keyframes}
+        poses = [kf_by_id.get(int(f)) for f in ids]
+        cos_thresh = np.cos(np.radians(near_rot_deg))
         best_j, best_frac = None, min_frac
         margin = 0.0        # best redundancy fraction seen, threshold-free
         for j in range(k - 1):                   # never the newest
@@ -404,6 +423,21 @@ class Backend:
                 continue
             frac = float((col & (obs_per_lm >= 4)).sum()) / n
             margin = max(margin, frac)
+            near = False
+            if poses[j] is not None and frac >= min_frac_near:
+                Tj = np.asarray(poses[j].T_wc, np.float64)
+                for i in range(k):
+                    if i == j or poses[i] is None:
+                        continue
+                    Ti = np.asarray(poses[i].T_wc, np.float64)
+                    if np.linalg.norm(Ti[:3, 3] - Tj[:3, 3]) > near_dist_m:
+                        continue
+                    cosang = (np.trace(Ti[:3, :3].T @ Tj[:3, :3]) - 1) / 2
+                    if cosang >= cos_thresh:
+                        near = True
+                        break
+            if near and best_j is None:
+                best_j, best_frac = j, frac
             if frac >= best_frac:
                 best_j, best_frac = j, frac
         # telemetry: how close the window came to a cull (a drive-scale
