@@ -448,3 +448,41 @@ def test_async_spill_matches_sync(cfg):
     # a second restore after an async spill round-trips fine
     slam.submaps.restore_to_device(0)
     assert not slam.submaps.is_on_host(0)
+
+
+def test_ghost_defers_to_restore_on_armed_corrections(cfg):
+    """A spilled submap with a SUPER-trigger deferred correction must not
+    ghost-render stale content: the composite forces the full
+    restore+replay so every super-trigger correction is visible."""
+    rng = np.random.default_rng(11)
+    slam = DenseSLAM(cfg)
+    gt = synthetic.make_trajectory(5, step_m=0.06, yaw_rate=0.0)
+    drift = []
+    for i in range(5):
+        xi = np.concatenate([rng.normal(0, 0.04, 3),
+                             rng.normal(0, 0.01, 3)]).astype(np.float32)
+        drift.append(np.asarray(
+            jnp.asarray(gt[i]) @ lie.se3_exp(jnp.asarray(xi))))
+    for i in range(3):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(drift[i]))
+    slam.submaps.create_new(np.asarray(drift[3]), anchor_frame_id=3)
+    slam.submaps.evict_to_host(0)
+    for i in range(3, 5):
+        _, depth = synthetic.render_view(jnp.asarray(gt[i]), cfg.rig.intr)
+        slam.process_frame(jnp.zeros_like(depth), depth=depth,
+                           pose_override=jnp.asarray(drift[i]))
+    slam.apply_pose_updates(
+        np.arange(5), np.stack([np.asarray(g) for g in gt]))
+    pend = slam.submaps.pending_corrections[0]
+    assert any(e > cfg.correction.inactive_min_error
+               for _, e in pend.values()), "setup needs a super-trigger"
+
+    ghosts_before = slam.submaps.num_ghost_renders
+    restores_before = slam.submaps.num_restores
+    slam.raycast_composite(jnp.asarray(gt[0]), ghost=True)
+    # the armed correction forced the restore path, not a ghost
+    assert slam.submaps.num_restores == restores_before + 1
+    assert slam.submaps.num_ghost_renders == ghosts_before
+    assert not slam.submaps.pending_corrections[0]   # replayed
